@@ -1,0 +1,220 @@
+"""Generic Gauss-Newton / Levenberg-Marquardt engine, batched and jittable.
+
+TPU-native re-design of the reference's templated ``Optimiser<State, Obs>``
+(reference: include/MotionEstimation/optimisation/optimisation.h:100-125,
+src/optimisation/optimisation.cpp:30-147, 674-730) and of the inner loop of
+``StereoVisualOdometry::optimize`` (src/vo/StereoVisualOdometry.cpp:165-283).
+
+The C++ version is a sequential loop with data-dependent exits; here the same
+damping schedule and stop conditions run inside ``lax.while_loop`` with a
+per-problem ``active`` flag, so the solver can be ``vmap``-ed over hundreds of
+independent problems (RANSAC hypotheses, BA windows) at once — the batched
+6x6 / KxK normal-equation solves are where the MXU earns its keep.
+
+The problem is supplied as a ``normal_eq_fn(x) -> (JJ, Jr, cost)`` callback
+(cost = sum of squared residuals, or the objective being maximized when
+``minimize=False``) plus an optional manifold ``update_fn(x, dx) -> x``.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class StopCondition(enum.IntEnum):
+    """Same set as the reference's StopCondition (rotation_utils.h:20)."""
+
+    NO_STOP = 0
+    SMALL_GRADIENT = 1
+    SMALL_INCREMENT = 2
+    MAX_ITERATIONS = 3
+    SMALL_DECREASE_FUNCTION = 4
+    SMALL_REPROJ_ERROR = 5
+    NO_CONVERGENCE = 6
+
+
+class LMConfig(NamedTuple):
+    """Solver knobs; defaults mirror OptimisationParams (optimisation.h:31)
+    and VisualOdometry::parameters (VisualOdometry.h:15-33)."""
+
+    max_iter: int = 20
+    use_lm: bool = True  # False -> pure Gauss-Newton
+    minimize: bool = True  # False maximizes (MI scale optimiser, optimisation.cpp:668)
+    tau: float = 1e-3  # initial damping factor (optimisation.h:31; VO uses 1e-5)
+    mu0: float = 1e-20
+    v0: float = 2.0
+    abs_tol: float = 1e-4  # e1: mean squared residual
+    grad_tol: float = 1e-4  # e2: inf-norm of J^T r
+    incr_tol: float = 1e-3  # e3: |dx| <= e3 * |x|
+    rel_tol: float = 1e-4  # e4: squared cost decrease vs cost
+    max_inner: int = 10  # LM damping retries per outer iteration
+
+
+class LMResult(NamedTuple):
+    x: jax.Array
+    cost: jax.Array
+    stop: jax.Array  # StopCondition value
+    n_iter: jax.Array
+    success: jax.Array  # converged by a "good" stop condition
+
+
+class _LoopState(NamedTuple):
+    x: jax.Array
+    cost: jax.Array
+    mu: jax.Array
+    v: jax.Array
+    stop: jax.Array
+    k: jax.Array
+
+
+def _default_update(x: jax.Array, dx: jax.Array) -> jax.Array:
+    return x + dx
+
+
+@partial(jax.jit, static_argnames=("normal_eq_fn", "update_fn", "config"))
+def lm_solve(
+    normal_eq_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
+    x0: jax.Array,
+    config: LMConfig = LMConfig(),
+    update_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+) -> LMResult:
+    """Minimize (or maximize) a nonlinear least-squares objective.
+
+    Args:
+      normal_eq_fn: x -> (JJ (K,K), Jr (K,), cost scalar). For minimization of
+        ||r||^2 these are J^T J, J^T r (with r = observed - predicted) and
+        sum(r^2); the step solves (JJ + mu I) dx = Jr. For maximization
+        (``minimize=False``) the same quantities with the sign convention of
+        the reference (optimisation.cpp:704-706: dX = alpha * solve(JJ, e)).
+      x0: initial parameters (K,).
+      update_fn: manifold retraction; default additive.
+
+    Fully differentiable-free fixed-point loop; vmap over leading axes by
+    wrapping in jax.vmap (all control flow is lax primitives).
+    """
+    update = update_fn or _default_update
+    cfg = config
+    sign = 1.0 if cfg.minimize else -1.0
+
+    def cond(s: _LoopState):
+        return (s.stop == StopCondition.NO_STOP) & (s.k < cfg.max_iter)
+
+    def body(s: _LoopState):
+        JJ, Jr, cost = normal_eq_fn(s.x)
+        k_dim = s.x.shape[-1]
+        n_res = jnp.maximum(JJ.shape[-1], 1)  # cost normalization done by caller
+
+        stop = s.stop
+        # SMALL_REPROJ_ERROR: mean squared residual below e1
+        # (StereoVisualOdometry.cpp:187-191). Caller encodes "mean" in cost.
+        stop = jnp.where(
+            cfg.minimize & (cost < cfg.abs_tol),
+            StopCondition.SMALL_REPROJ_ERROR,
+            stop,
+        )
+        # SMALL_GRADIENT (optimisation.cpp:204: ||J^T r||_inf < e2)
+        stop = jnp.where(
+            jnp.max(jnp.abs(Jr)) < cfg.grad_tol, StopCondition.SMALL_GRADIENT, stop
+        )
+
+        # initialize mu on first iteration from max diag (cpp:209-214)
+        mu = jnp.where(
+            cfg.use_lm & (s.k == 0),
+            cfg.tau * jnp.maximum(cfg.mu0, jnp.max(jnp.diagonal(JJ))),
+            s.mu,
+        )
+
+        def solve_step(mu_):
+            A = JJ + mu_ * jnp.eye(k_dim, dtype=JJ.dtype) if cfg.use_lm else JJ
+            dx = sign * jnp.linalg.solve(A, Jr)
+            ok = jnp.all(jnp.isfinite(dx))
+            return jnp.where(ok, dx, 0.0), ok
+
+        if not cfg.use_lm:
+            dx, ok = solve_step(mu)
+            small_incr = jnp.linalg.norm(dx) <= cfg.incr_tol * jnp.linalg.norm(s.x)
+            new_stop = jnp.where(~ok, StopCondition.NO_CONVERGENCE, stop)
+            new_stop = jnp.where(
+                ok & small_incr & (new_stop == StopCondition.NO_STOP),
+                StopCondition.SMALL_INCREMENT,
+                new_stop,
+            )
+            take = ok & ~small_incr & (stop == StopCondition.NO_STOP)
+            x_new = jax.tree.map(
+                lambda a, b: jnp.where(take, a, b), update(s.x, dx), s.x
+            )
+            return _LoopState(x_new, cost, mu, s.v, new_stop, s.k + 1)
+
+        # --- LM inner damping loop (optimisation.cpp:236-270) ---
+        def inner_cond(c):
+            done, *_ = c
+            return ~done
+
+        def inner_body(c):
+            done, mu_, v_, x_, stop_, best_cost, inner_k = c
+            dx, ok = solve_step(mu_)
+            small_incr = jnp.linalg.norm(dx) <= cfg.incr_tol * jnp.linalg.norm(x_)
+            x_test = update(x_, dx)
+            _, _, cost_test = normal_eq_fn(x_test)
+            # gain ratio rho (cpp:252): (F(x) - F(x_test)) / (dx^T (mu dx + Jr))
+            denom = jnp.dot(dx, mu_ * dx + sign * Jr)
+            rho = sign * (cost - cost_test) / jnp.where(denom == 0, 1e-30, denom)
+            accept = ok & (rho > 0) & ~small_incr
+
+            # SMALL_DECREASE_FUNCTION (cpp:258-259)
+            small_dec = (cost - cost_test) ** 2 < cfg.rel_tol * jnp.abs(cost)
+            new_stop = jnp.where(
+                accept & small_dec, StopCondition.SMALL_DECREASE_FUNCTION, stop_
+            )
+            new_stop = jnp.where(~ok, StopCondition.NO_CONVERGENCE, new_stop)
+            new_stop = jnp.where(
+                ok & small_incr, StopCondition.SMALL_INCREMENT, new_stop
+            )
+
+            mu_next = jnp.where(
+                accept,
+                mu_ * jnp.maximum(0.333, 1.0 - (2.0 * rho - 1.0) ** 3),
+                mu_ * v_,
+            )
+            v_next = jnp.where(accept, cfg.v0, 2.0 * v_)
+            x_next = jax.tree.map(lambda a, b: jnp.where(accept, a, b), x_test, x_)
+            give_up = inner_k + 1 >= cfg.max_inner
+            new_stop = jnp.where(
+                ~accept & give_up & (new_stop == StopCondition.NO_STOP),
+                StopCondition.NO_CONVERGENCE,
+                new_stop,
+            )
+            done_next = accept | give_up | (new_stop != StopCondition.NO_STOP)
+            return (done_next, mu_next, v_next, x_next, new_stop,
+                    jnp.minimum(best_cost, cost_test), inner_k + 1)
+
+        init = (stop != StopCondition.NO_STOP, mu, s.v, s.x, stop,
+                jnp.asarray(jnp.inf, cost.dtype), jnp.asarray(0, jnp.int32))
+        _, mu_n, v_n, x_n, stop_n, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, init
+        )
+        return _LoopState(x_n, cost, mu_n, v_n, stop_n, s.k + 1)
+
+    x0 = jnp.asarray(x0)
+    s0 = _LoopState(
+        x=x0,
+        cost=jnp.asarray(jnp.inf, x0.dtype),
+        mu=jnp.asarray(config.mu0, x0.dtype),
+        v=jnp.asarray(config.v0, x0.dtype),
+        stop=jnp.asarray(StopCondition.NO_STOP, jnp.int32),
+        k=jnp.asarray(0, jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, s0)
+    stop = jnp.where(
+        out.stop == StopCondition.NO_STOP, StopCondition.MAX_ITERATIONS, out.stop
+    )
+    _, _, final_cost = normal_eq_fn(out.x)
+    success = (stop != StopCondition.NO_CONVERGENCE) & (
+        stop != StopCondition.MAX_ITERATIONS
+    )
+    return LMResult(x=out.x, cost=final_cost, stop=stop, n_iter=out.k, success=success)
