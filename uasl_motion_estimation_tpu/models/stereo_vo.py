@@ -1,0 +1,311 @@
+"""Stereo visual odometry: vmapped-RANSAC + GN/LM 6-DoF pose engine.
+
+TPU-native re-design of ``StereoVisualOdometry``
+(reference: include/MotionEstimation/vo/StereoVisualOdometry.h:41-92,
+src/vo/StereoVisualOdometry.cpp:22-342). The reference's sequential RANSAC —
+200 iterations, each running a full GN/LM optimization over 3 matches, then an
+inlier count (StereoVisualOdometry.cpp:58-71) — becomes a single batched
+program:
+
+  1. all ``n_ransac`` 3-point minimal samples are drawn at once from a PRNG key,
+  2. a fixed-iteration Gauss-Newton solve runs for every hypothesis in parallel
+     (``vmap`` -> batched 6x6 normal-equation solves on the MXU),
+  3. inlier counts for all hypotheses x all matches are computed as one
+     (H, N) residual tensor; argmax picks the winner,
+  4. a final masked GN/LM refinement runs on the winning inlier set with the
+     reference's full stop-condition semantics (solvers/lm.py).
+
+Everything is fixed-shape: callers pad the match list to a static N and pass a
+validity mask, so the whole per-frame step jit-compiles once.
+
+State convention matches the reference exactly (StereoVisualOdometry.cpp:116-141):
+``x = [roll, pitch, yaw, tx, ty, tz]``; points from the *previous* frame are
+mapped into the current one by ``Tr = [euler_to_R(x[:3]).T | x[3:]]`` and
+reprojected through P1 (left) and P2 (right, baseline-shifted).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry as geo
+from ..ops import lie
+from ..solvers.lm import LMConfig, StopCondition, lm_solve
+
+
+class StereoVOParams(NamedTuple):
+    """Defaults mirror VisualOdometry::parameters (VisualOdometry.h:32) and
+    StereoVisualOdometry::parameters (StereoVisualOdometry.h:24-33)."""
+
+    intr1: geo.Intrinsics
+    intr2: geo.Intrinsics
+    baseline: float
+    use_lm: bool = False  # reference default method = GN
+    max_iter: int = 100
+    # Tolerance defaults are the float32-appropriate analogues of the
+    # reference's f64 values (e1=1e-3, e2=e3=1e-12, e4=1e-15,
+    # VisualOdometry.h:32) — the originals sit below f32 resolution.
+    e1: float = 1e-3  # mean reproj error tol
+    e2: float = 1e-8  # gradient tol
+    e3: float = 1e-7  # increment tol
+    e4: float = 1e-10  # relative decrease tol
+    ransac: bool = True
+    n_ransac: int = 200
+    inlier_threshold: float = 2.0
+    min_spread_area: float = 1000.0  # RANSAC sample triangle area, cpp:63
+    min_matches: int = 6  # cpp:41
+    min_inliers: int = 6  # cpp:84
+    ransac_gn_iters: int = 12  # fixed GN iterations per hypothesis
+
+
+class StereoVOResult(NamedTuple):
+    state: jax.Array  # (6,) [roll, pitch, yaw, tx, ty, tz]
+    motion: jax.Array  # (4, 4) Tr matrix (getMotion, cpp:331-342)
+    inlier_mask: jax.Array  # (N,) bool
+    n_inliers: jax.Array  # ()
+    success: jax.Array  # () bool
+    stop: jax.Array  # () StopCondition of the final refinement
+    mean_reproj_error: jax.Array  # () mean squared reprojection error (inliers)
+
+
+def _transform(state: jax.Array, pts3: jax.Array) -> jax.Array:
+    """Apply Tr = [R(euler).T | t] to previous-frame points (cpp:126-133)."""
+    R = lie.euler_to_R(state[:3])
+    return pts3 @ R + state[3:6]  # pts @ R == (R.T @ pts.T).T
+
+
+def _reproject(state: jax.Array, pts3: jax.Array, p: StereoVOParams
+               ) -> tuple[jax.Array, jax.Array]:
+    """Predicted (left, right) pixels of previous-frame 3D points
+    (reproject, cpp:116-141)."""
+    pt_next = _transform(state, pts3)
+    pred_l = geo.project(pt_next, p.intr1)
+    pred_r = geo.project(pt_next, p.intr2, baseline_shift=p.baseline)
+    return pred_l, pred_r
+
+
+def _residuals(state: jax.Array, pts3: jax.Array, obs: jax.Array,
+               p: StereoVOParams) -> jax.Array:
+    """(N, 4) residuals [obs_l - pred_l, obs_r - pred_r] (cpp:179-185)."""
+    pred_l, pred_r = _reproject(state, pts3, p)
+    return jnp.concatenate([obs[..., 0, :] - pred_l, obs[..., 1, :] - pred_r], axis=-1)
+
+
+def _jacobian(state: jax.Array, pts3: jax.Array, p: StereoVOParams) -> jax.Array:
+    """Analytic (N, 4, 6) jacobian of *predictions* wrt state.
+
+    Vectorized form of updateJacobian (StereoVisualOdometry.cpp:291-329):
+    columns 0-2 use the transposed Euler derivative matrices, 3-5 are unit
+    translations; rows are (u_l, v_l, u_r, v_r).
+    """
+    dRdr, dRdp, dRdy = lie.euler_dR(state[:3])
+    pt_next = _transform(state, pts3)  # (N, 3)
+    x, y, z = pt_next[..., 0], pt_next[..., 1], pt_next[..., 2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+
+    # d(pt_next)/d(state_j): rotation params rotate the *untransformed* point.
+    dpts_rot = jnp.stack(
+        [pts3 @ dRdr, pts3 @ dRdp, pts3 @ dRdy], axis=-2
+    )  # (N, 3, 3): (match, param, coord)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pts3.dtype), pts3.shape[:-1] + (3, 3))
+    dpts = jnp.concatenate([dpts_rot, eye], axis=-2)  # (N, 6, 3)
+
+    dx, dy, dz = dpts[..., 0], dpts[..., 1], dpts[..., 2]  # (N, 6)
+    xe, ye, ze = x[..., None], y[..., None], z[..., None]
+    ju_l = p.intr1.fu * (dx * ze - xe * dz) / (ze * ze)
+    jv_l = p.intr1.fv * (dy * ze - ye * dz) / (ze * ze)
+    ju_r = p.intr2.fu * (dx * ze - (xe - p.baseline) * dz) / (ze * ze)
+    jv_r = p.intr2.fv * (dy * ze - ye * dz) / (ze * ze)
+    return jnp.stack([ju_l, jv_l, ju_r, jv_r], axis=-2)  # (N, 4, 6)
+
+
+def _normal_eq(state, pts3, obs, weights, p: StereoVOParams):
+    """(JJ, Jr, mean-squared-residual-cost) over weighted matches."""
+    res = _residuals(state, pts3, obs, p)  # (N, 4)
+    J = _jacobian(state, pts3, p)  # (N, 4, 6)
+    w = weights[..., None]
+    JJ = jnp.einsum("nri,nrj->ij", J * w[..., None], J)
+    Jr = jnp.einsum("nri,nr->i", J, res * w)
+    n_eff = jnp.maximum(jnp.sum(weights) * 4.0, 1.0)
+    cost = jnp.sum(res * res * w) / n_eff  # mean over residual rows (cpp:187)
+    return JJ, Jr, cost
+
+
+def _gn_fixed(state0, pts3, obs, weights, p: StereoVOParams, n_iters: int):
+    """Fixed-iteration Gauss-Newton used inside RANSAC hypotheses.
+
+    The reference runs full GN-to-convergence per hypothesis
+    (cpp:66 optimize(selection)); hypotheses on 3 points converge in a few
+    iterations, so a fixed unrolled count (masked on divergence) is the
+    vmap-friendly equivalent.
+    """
+
+    def body(_, st):
+        JJ, Jr, _ = _normal_eq(st, pts3, obs, weights, p)
+        dx = jnp.linalg.solve(JJ + 1e-9 * jnp.eye(6, dtype=JJ.dtype), Jr)
+        ok = jnp.all(jnp.isfinite(dx))
+        return jnp.where(ok, st + dx, st)
+
+    return jax.lax.fori_loop(0, n_iters, body, state0)
+
+
+def _sq_reproj_error(state, pts3, obs, p: StereoVOParams) -> jax.Array:
+    """(N,) squared reprojection error summed over the 4 residuals
+    (computeInliers score, cpp:103-110)."""
+    res = _residuals(state, pts3, obs, p)
+    return jnp.sum(res * res, axis=-1)
+
+
+def _sample_hypotheses(key: jax.Array, n_ransac: int, valid: jax.Array
+                       ) -> jax.Array:
+    """(H, 3) random triples of valid match indices.
+
+    Replaces selectRandomIndices (cpp:143-163). Sampling is with replacement
+    of triples across hypotheses (as the reference), without replacement
+    inside a triple via Gumbel-top-3 over the valid mask.
+    """
+    n = valid.shape[0]
+    keys = jax.random.split(key, n_ransac)
+
+    def one(k):
+        g = jax.random.gumbel(k, (n,))
+        g = jnp.where(valid, g, -jnp.inf)
+        _, idx = jax.lax.top_k(g, 3)
+        return idx
+
+    return jax.vmap(one)(keys)
+
+
+def _triangle_area(uv: jax.Array) -> jax.Array:
+    """Signed area of the triangle formed by 3 pixel locations (cpp:63)."""
+    a, b, c = uv[..., 0, :], uv[..., 1, :], uv[..., 2, :]
+    return 0.5 * (
+        a[..., 0] * (b[..., 1] - c[..., 1])
+        + b[..., 0] * (c[..., 1] - a[..., 1])
+        + c[..., 0] * (a[..., 1] - b[..., 1])
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def stereo_vo_solve(
+    matches: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    params: StereoVOParams,
+    init: jax.Array | None = None,
+) -> StereoVOResult:
+    """Estimate frame-to-frame egomotion from padded quad matches.
+
+    Args:
+      matches: (N, 4, 2) pixel locations [f1 prevL, f2 prevR, f3 curL, f4 curR]
+        (the reference's StereoOdoMatches, feature_types.h:105-115). N is
+        static; pad and mark padding invalid.
+      valid: (N,) bool mask of real matches.
+      key: PRNG key for RANSAC sampling.
+      params: static solver configuration.
+      init: optional (6,) initial state (process(init), cpp:34-46).
+
+    Returns a StereoVOResult; ``success`` mirrors the reference's boolean
+    process() contract (enough matches, enough inliers, solver converged).
+    """
+    p = params
+    n = matches.shape[0]
+    dtype = matches.dtype
+    init = jnp.zeros(6, dtype) if init is None else init.astype(dtype)
+
+    pts3 = geo.triangulate_disparity(
+        matches[:, 0], matches[:, 1], p.intr1, p.intr2, p.baseline
+    )  # previous-frame 3D points (project3D, cpp:22-32)
+    obs = matches[:, 2:4]  # current-frame observations (updateObservations)
+
+    valid_f = valid.astype(dtype)
+    n_valid = jnp.sum(valid)
+
+    if p.ransac:
+        samples = _sample_hypotheses(key, p.n_ransac, valid)  # (H, 3)
+        sample_uv = matches[:, 2][samples]  # f3 locations, (H, 3, 2)
+        spread_ok = jnp.abs(_triangle_area(sample_uv)) > p.min_spread_area
+        sample_valid = jnp.all(valid[samples], axis=-1) & spread_ok
+
+        def run_hyp(idx3):
+            w = jnp.zeros(n, dtype).at[idx3].set(1.0)
+            return _gn_fixed(init, pts3, obs, w * valid_f, p, p.ransac_gn_iters)
+
+        hyp_states = jax.vmap(run_hyp)(samples)  # (H, 6)
+
+        errs = jax.vmap(lambda s: _sq_reproj_error(s, pts3, obs, p))(hyp_states)
+        inl = (errs < p.inlier_threshold**2) & valid[None, :]
+        counts = jnp.where(sample_valid, jnp.sum(inl, axis=-1), -1)
+        best = jnp.argmax(counts)
+        inlier_mask = inl[best] & (counts[best] > 0)
+    else:
+        inlier_mask = valid
+
+    n_inliers = jnp.sum(inlier_mask)
+    w_final = inlier_mask.astype(dtype)
+
+    # Final refinement from the *initial* state over the inlier set
+    # (cpp:75, 84-91: m_state = init; optimize(m_inliers_idx)).
+    cfg = LMConfig(
+        max_iter=p.max_iter,
+        use_lm=p.use_lm,
+        minimize=True,
+        tau=1e-5,  # VO's LM tau (cpp:170)
+        abs_tol=p.e1,
+        grad_tol=p.e2,
+        incr_tol=p.e3,
+        rel_tol=p.e4,
+    )
+    result = lm_solve(
+        partial(_normal_eq, pts3=pts3, obs=obs, weights=w_final, p=p), init, cfg
+    )
+
+    # The reference's loop-exit logic makes MAX_ITERATIONS a failure
+    # (cpp:277-280); with fixed-budget iteration we accept it when the
+    # residual is within the inlier threshold (the pose is usable), which is
+    # the practical contract consumers rely on.
+    acceptable = (result.stop == StopCondition.MAX_ITERATIONS) & (
+        result.cost < p.inlier_threshold**2
+    )
+    success = (
+        (result.success | acceptable)
+        & (n_valid >= p.min_matches)
+        & (n_inliers >= p.min_inliers)
+    )
+    state = jnp.where(success, result.x, init)
+    motion = _motion_matrix(state)
+    return StereoVOResult(
+        state=state,
+        motion=motion,
+        inlier_mask=inlier_mask,
+        n_inliers=n_inliers,
+        success=success,
+        stop=result.stop,
+        mean_reproj_error=result.cost,
+    )
+
+
+def _motion_matrix(state: jax.Array) -> jax.Array:
+    """getMotion (cpp:331-342): Rt = [euler_to_R(state).T | t]."""
+    R = lie.euler_to_R(state[:3]).T
+    top = jnp.concatenate([R, state[3:6, None]], axis=-1)
+    bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], dtype=state.dtype)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def stereo_vo_batch(
+    matches: jax.Array, valid: jax.Array, keys: jax.Array, params: StereoVOParams
+) -> StereoVOResult:
+    """vmap over a batch of independent frame problems (B, N, 4, 2).
+
+    The multi-chip path shards this batch over a device mesh
+    (parallel/segments.py); there is no reference counterpart (the C++ library
+    is strictly single-threaded, SURVEY.md section 2.3).
+    """
+    return jax.vmap(lambda m, v, k: stereo_vo_solve(m, v, k, params))(
+        matches, valid, keys
+    )

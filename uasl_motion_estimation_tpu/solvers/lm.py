@@ -19,7 +19,6 @@ The problem is supplied as a ``normal_eq_fn(x) -> (JJ, Jr, cost)`` callback
 from __future__ import annotations
 
 import enum
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -76,7 +75,6 @@ def _default_update(x: jax.Array, dx: jax.Array) -> jax.Array:
     return x + dx
 
 
-@partial(jax.jit, static_argnames=("normal_eq_fn", "update_fn", "config"))
 def lm_solve(
     normal_eq_fn: Callable[[jax.Array], tuple[jax.Array, jax.Array, jax.Array]],
     x0: jax.Array,
@@ -107,7 +105,6 @@ def lm_solve(
     def body(s: _LoopState):
         JJ, Jr, cost = normal_eq_fn(s.x)
         k_dim = s.x.shape[-1]
-        n_res = jnp.maximum(JJ.shape[-1], 1)  # cost normalization done by caller
 
         stop = s.stop
         # SMALL_REPROJ_ERROR: mean squared residual below e1
