@@ -1,0 +1,257 @@
+"""Feature front-end: GFTT detection, ZNCC/MI stereo matching, KLT tracking.
+
+This subsystem is new scope: the reference library consumes externally-produced
+matches (its data structures assume an OpenCV front-end; SURVEY.md TL;DR,
+feature_types.h:91-194) and BASELINE.json makes GFTT + ZNCC/MI matching +
+pyramidal KLT native requirements. Design is batch-first:
+
+* stereo matching scores every (feature x disparity) pair at once — ZNCC as a
+  single ``einsum`` over normalized patch vectors (MXU), MI as batched one-hot
+  joint-histogram matmuls (ops/similarity.py);
+* KLT runs all features through every pyramid level/iteration in lock-step
+  with validity masking (no per-feature control flow).
+
+All outputs are fixed-shape (max_features static) with validity masks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import image as im
+from ..ops import similarity as sim
+
+
+class MatcherConfig(NamedTuple):
+    patch_radius: int = 5
+    max_disparity: int = 128
+    min_disparity: float = 0.5
+    min_score: float = 0.6  # ZNCC acceptance threshold
+    mi_bins: int = 20
+    mi_min_score: float = 0.4  # MI acceptance (bits)
+
+
+class KLTConfig(NamedTuple):
+    n_levels: int = 4
+    window_radius: int = 5
+    iters: int = 10
+    min_eig_threshold: float = 1e-4
+    max_residual: float = 12.0  # mean abs intensity error acceptance
+    max_displacement: float = 400.0
+
+
+def _normalized_patch_vectors(patches: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """(..., k, k) -> zero-mean unit-norm (..., k*k) vectors; ZNCC becomes a
+    plain dot product."""
+    flat = patches.reshape(patches.shape[:-2] + (-1,))
+    flat = flat - jnp.mean(flat, axis=-1, keepdims=True)
+    norm = jnp.linalg.norm(flat, axis=-1, keepdims=True)
+    return flat / jnp.maximum(norm, eps)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_mi"))
+def match_stereo(
+    img_left: jax.Array,
+    img_right: jax.Array,
+    feats_left: jax.Array,
+    valid_left: jax.Array,
+    cfg: MatcherConfig = MatcherConfig(),
+    use_mi: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Epipolar stereo matching on rectified pairs.
+
+    For each left feature (x, y), scores right-image patches at
+    (x - d, y) for d in [0, max_disparity) and keeps the best, with
+    sub-pixel parabola refinement and a left-right score threshold.
+
+    ``use_mi=True`` scores with mutual information instead of ZNCC — the
+    cross-modal capability of the reference's MI core
+    (mutual_information.cpp:55-86) applied to matching (BASELINE config 3).
+
+    Returns (feats_right (N, 2), scores (N,), valid (N,)).
+    """
+    h, w = img_left.shape
+    n = feats_left.shape[0]
+    r = cfg.patch_radius
+    d_range = jnp.arange(cfg.max_disparity, dtype=img_left.dtype)
+
+    patches_l = im.extract_patches(img_left, feats_left, r)  # (N, k, k)
+
+    # candidate centers: (N, D, 2)
+    cand = jnp.stack(
+        [
+            feats_left[:, None, 0] - d_range[None, :],
+            jnp.broadcast_to(feats_left[:, None, 1], (n, cfg.max_disparity)),
+        ],
+        axis=-1,
+    )
+    cand_flat = cand.reshape(-1, 2)
+    patches_r = im.extract_patches(img_right, cand_flat, r).reshape(
+        n, cfg.max_disparity, 2 * r + 1, 2 * r + 1
+    )
+
+    cand_ok = im.patch_in_bounds(cand, r + 1, h, w)  # (N, D)
+
+    if use_mi:
+        scores = sim.mutual_information(
+            patches_l[:, None], patches_r, bins=cfg.mi_bins
+        )  # (N, D)
+        min_score = cfg.mi_min_score
+    else:
+        vl = _normalized_patch_vectors(patches_l)  # (N, P)
+        vr = _normalized_patch_vectors(patches_r)  # (N, D, P)
+        scores = jnp.einsum("np,ndp->nd", vl, vr)
+        min_score = cfg.min_score
+
+    scores = jnp.where(cand_ok, scores, -jnp.inf)
+    best = jnp.argmax(scores, axis=-1)  # (N,)
+    best_score = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+
+    # sub-pixel disparity from the score parabola around the peak
+    bm1 = jnp.clip(best - 1, 0, cfg.max_disparity - 1)
+    bp1 = jnp.clip(best + 1, 0, cfg.max_disparity - 1)
+    s0 = jnp.take_along_axis(scores, bm1[:, None], axis=-1)[:, 0]
+    s2 = jnp.take_along_axis(scores, bp1[:, None], axis=-1)[:, 0]
+    s0 = jnp.where(jnp.isfinite(s0), s0, best_score)
+    s2 = jnp.where(jnp.isfinite(s2), s2, best_score)
+    denom = s0 - 2 * best_score + s2
+    sub = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (s0 - s2) / denom, 0.0)
+    sub = jnp.clip(sub, -0.5, 0.5)
+
+    disparity = best.astype(img_left.dtype) + sub
+    feats_right = jnp.stack(
+        [feats_left[:, 0] - disparity, feats_left[:, 1]], axis=-1
+    )
+
+    valid = (
+        valid_left
+        & jnp.isfinite(best_score)
+        & (best_score > min_score)
+        & (disparity > cfg.min_disparity)
+        & im.patch_in_bounds(feats_left, r + 1, h, w)
+    )
+    return feats_right, best_score, valid
+
+
+class KLTResult(NamedTuple):
+    pts: jax.Array  # (N, 2) tracked locations
+    valid: jax.Array  # (N,) bool
+    residual: jax.Array  # (N,) mean abs photometric error
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def klt_track(
+    img_prev: jax.Array,
+    img_next: jax.Array,
+    pts_prev: jax.Array,
+    valid_prev: jax.Array,
+    cfg: KLTConfig = KLTConfig(),
+    init_next: jax.Array | None = None,
+) -> KLTResult:
+    """Pyramidal Lucas-Kanade tracking, all features in lock-step.
+
+    New scope (BASELINE config 2). Coarse-to-fine over a Gaussian pyramid;
+    at each level every feature runs ``iters`` fixed iterations of the 2x2
+    LK solve with masked updates (no data-dependent control flow).
+    """
+    h, w = img_prev.shape
+    r = cfg.window_radius
+
+    pyr_prev = im.build_pyramid(img_prev, cfg.n_levels)
+    pyr_next = im.build_pyramid(img_next, cfg.n_levels)
+
+    guess = pts_prev if init_next is None else init_next
+    # displacement estimate at the coarsest level
+    d = (guess - pts_prev) / (2.0 ** (cfg.n_levels - 1))
+
+    eig_ok = jnp.ones_like(valid_prev)
+
+    for level in range(cfg.n_levels - 1, -1, -1):
+        scale = 2.0**level
+        p_prev = pts_prev / scale
+        ip, inx = pyr_prev[level], pyr_next[level]
+        gx, gy = im.scharr(ip)
+
+        tpl = im.extract_patches(ip, p_prev, r)  # (N, k, k)
+        gxp = im.extract_patches(gx, p_prev, r)
+        gyp = im.extract_patches(gy, p_prev, r)
+
+        # 2x2 structure tensor per feature (constant across iterations)
+        a11 = jnp.sum(gxp * gxp, axis=(-2, -1))
+        a12 = jnp.sum(gxp * gyp, axis=(-2, -1))
+        a22 = jnp.sum(gyp * gyp, axis=(-2, -1))
+        det = a11 * a22 - a12 * a12
+        tr = a11 + a22
+        min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
+        npix = (2 * r + 1) ** 2
+        eig_ok = eig_ok & (min_eig / npix > cfg.min_eig_threshold)
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+
+        def step(_, dcur):
+            cur = p_prev + dcur
+            patch = im.extract_patches(inx, cur, r)
+            err = patch - tpl
+            b1 = jnp.sum(err * gxp, axis=(-2, -1))
+            b2 = jnp.sum(err * gyp, axis=(-2, -1))
+            dx = -(a22 * b1 - a12 * b2) * inv_det
+            dy = -(a11 * b2 - a12 * b1) * inv_det
+            upd = jnp.stack([dx, dy], axis=-1)
+            ok = jnp.isfinite(upd).all(axis=-1, keepdims=True)
+            return dcur + jnp.where(ok, upd, 0.0)
+
+        d = jax.lax.fori_loop(0, cfg.iters, step, d)
+        if level > 0:
+            d = d * 2.0
+
+    pts_next = pts_prev + d
+
+    final_patch = im.extract_patches(img_next, pts_next, r)
+    tpl0 = im.extract_patches(img_prev, pts_prev, r)
+    residual = jnp.mean(jnp.abs(final_patch - tpl0), axis=(-2, -1))
+
+    valid = (
+        valid_prev
+        & eig_ok
+        & (residual < cfg.max_residual)
+        & (jnp.linalg.norm(d, axis=-1) < cfg.max_displacement)
+        & im.patch_in_bounds(pts_next, r + 1, h, w)
+        & im.patch_in_bounds(pts_prev, r + 1, h, w)
+    )
+    return KLTResult(pts=pts_next, valid=valid, residual=residual)
+
+
+class QuadMatches(NamedTuple):
+    """Fixed-shape quad-match table, the array equivalent of
+    vector<StereoOdoMatchesf> (feature_types.h:105-115)."""
+
+    uv: jax.Array  # (N, 4, 2): f1 prevL, f2 prevR, f3 curL, f4 curR
+    valid: jax.Array  # (N,)
+
+
+@partial(jax.jit, static_argnames=("max_features", "matcher", "klt", "detect_kwargs"))
+def quad_match_frames(
+    prev_left: jax.Array,
+    prev_right: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    max_features: int = 500,
+    matcher: MatcherConfig = MatcherConfig(),
+    klt: KLTConfig = KLTConfig(),
+    detect_kwargs: tuple = (),
+) -> QuadMatches:
+    """Full quad-matching: detect in prev-left, ZNCC-match both stereo pairs,
+    KLT-track left features forward (the front-end loop the reference leaves
+    to its consumers; SURVEY.md section 3.5).
+    """
+    feats_l, _, v0 = im.detect_features(
+        prev_left, max_features=max_features, **dict(detect_kwargs)
+    )
+    f2, _, v1 = match_stereo(prev_left, prev_right, feats_l, v0, matcher)
+    tracked = klt_track(prev_left, cur_left, feats_l, v1, klt)
+    f4, _, v3 = match_stereo(cur_left, cur_right, tracked.pts, tracked.valid, matcher)
+    uv = jnp.stack([feats_l, f2, tracked.pts, f4], axis=1)
+    return QuadMatches(uv=uv, valid=v3)

@@ -1,0 +1,229 @@
+"""Image operations: pyramids, gradients, corner response, NMS, sampling.
+
+New-scope front-end ops (the reference delegates detection/tracking to OpenCV
+and only ships a scanline NMS, feature_types.cpp:253-351; BASELINE.json adds
+GFTT/ZNCC/KLT as required capabilities). All ops are pure jnp on (H, W)
+float32 images, expressed as convolutions/reductions XLA maps onto the
+MXU/VPU; no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Single-channel 2D convolution, SAME padding (edge values replicated)."""
+    kh, kw = kernel.shape
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    img_p = jnp.pad(img, pad, mode="edge")
+    out = jax.lax.conv_general_dilated(
+        img_p[None, None],
+        kernel[None, None].astype(img.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def _sep_filter(img: jax.Array, k_row: jax.Array, k_col: jax.Array) -> jax.Array:
+    """Separable filter: k_col applied along rows, k_row along columns."""
+    out = _conv2d_same(img, k_col[:, None])
+    return _conv2d_same(out, k_row[None, :])
+
+
+# numpy (not jnp) so importing this module never touches a device backend
+_BINOMIAL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def gaussian_blur5(img: jax.Array) -> jax.Array:
+    """5-tap binomial blur (Burt-Adelson pyramid kernel)."""
+    k = jnp.asarray(_BINOMIAL5, img.dtype)
+    return _sep_filter(img, k, k)
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """Blur + 2x decimation (cv2.pyrDown semantics)."""
+    return gaussian_blur5(img)[::2, ::2]
+
+
+def build_pyramid(img: jax.Array, n_levels: int) -> list[jax.Array]:
+    """Gaussian pyramid, level 0 = full resolution."""
+    levels = [img]
+    for _ in range(n_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    return levels
+
+
+def sobel(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sobel gradients (gx, gy), same normalization as cv2.Sobel ksize=3
+    (used for MI weighting, optimisation.cpp:483)."""
+    smooth = jnp.array([1.0, 2.0, 1.0])
+    diff = jnp.array([-1.0, 0.0, 1.0])
+    gx = _sep_filter(img, diff, smooth)
+    gy = _sep_filter(img, smooth, diff)
+    return gx, gy
+
+
+def scharr(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Scharr gradients, scaled to approximate intensity derivatives
+    (1/32 normalization) — better rotational symmetry for KLT."""
+    smooth = jnp.array([3.0, 10.0, 3.0]) / 16.0
+    diff = jnp.array([-1.0, 0.0, 1.0]) / 2.0
+    gx = _sep_filter(img, diff, smooth)
+    gy = _sep_filter(img, smooth, diff)
+    return gx, gy
+
+
+def _box_filter(img: jax.Array, radius: int) -> jax.Array:
+    k = jnp.ones(2 * radius + 1) / (2 * radius + 1)
+    return _sep_filter(img, k, k)
+
+
+def shi_tomasi_response(img: jax.Array, window_radius: int = 2) -> jax.Array:
+    """GFTT (min-eigenvalue of the structure tensor) corner response.
+
+    Equivalent of cv2.goodFeaturesToTrack's quality map (new scope per
+    BASELINE.json config 1). lambda_min = (a+c)/2 - sqrt(((a-c)/2)^2 + b^2)
+    with [a b; b c] the box-filtered structure tensor.
+    """
+    gx, gy = sobel(img)
+    a = _box_filter(gx * gx, window_radius)
+    b = _box_filter(gx * gy, window_radius)
+    c = _box_filter(gy * gy, window_radius)
+    half_tr = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    return half_tr - disc
+
+
+def harris_response(img: jax.Array, window_radius: int = 2, k: float = 0.04
+                    ) -> jax.Array:
+    """Harris corner response det(M) - k*trace(M)^2 (alternative detector)."""
+    gx, gy = sobel(img)
+    a = _box_filter(gx * gx, window_radius)
+    b = _box_filter(gx * gy, window_radius)
+    c = _box_filter(gy * gy, window_radius)
+    return a * c - b * b - k * (a + c) ** 2
+
+
+def nms(response: jax.Array, radius: int = 1) -> jax.Array:
+    """Non-maximum suppression: keep strict regional maxima.
+
+    Block-parallel re-design of the scanline 3x3 NMS
+    (feature_types.cpp:253-351): a pixel survives iff it equals the max of its
+    (2r+1)^2 neighborhood — a reduce_window max-pool instead of the serial
+    scan-and-skip automaton.
+    """
+    k = 2 * radius + 1
+    pooled = jax.lax.reduce_window(
+        response, -jnp.inf, jax.lax.max, (k, k), (1, 1), "SAME"
+    )
+    return jnp.where(response >= pooled, response, -jnp.inf)
+
+
+def subpixel_peak_2d(patch3: jax.Array) -> jax.Array:
+    """Quadratic sub-pixel offset (dx, dy) from a 3x3 score neighborhood.
+
+    Same idea as the parabola fit in nonMaxSupScanline3x3's refinement
+    (feature_types.cpp:330-349), vectorized over leading batch dims.
+    """
+    dx = 0.5 * (patch3[..., 1, 2] - patch3[..., 1, 0])
+    dy = 0.5 * (patch3[..., 2, 1] - patch3[..., 0, 1])
+    dxx = patch3[..., 1, 2] - 2.0 * patch3[..., 1, 1] + patch3[..., 1, 0]
+    dyy = patch3[..., 2, 1] - 2.0 * patch3[..., 1, 1] + patch3[..., 0, 1]
+    off_x = jnp.where(jnp.abs(dxx) > 1e-9, -dx / dxx, 0.0)
+    off_y = jnp.where(jnp.abs(dyy) > 1e-9, -dy / dyy, 0.0)
+    return jnp.stack(
+        [jnp.clip(off_x, -0.5, 0.5), jnp.clip(off_y, -0.5, 0.5)], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("max_features", "nms_radius", "border"))
+def detect_features(
+    img: jax.Array,
+    max_features: int = 500,
+    quality_level: float = 0.01,
+    nms_radius: int = 5,
+    border: int = 8,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """GFTT detection: response -> NMS -> top-k, fixed output shape.
+
+    Returns (xy (K, 2) float32 subpixel coords, scores (K,), valid (K,) bool).
+    Deterministic: top_k breaks ties by linear index. The default feature
+    budget mirrors TrackingInfo.nb_feats=500 (file_IO.h:69-73).
+    """
+    h, w = img.shape
+    raw = shi_tomasi_response(img)
+    resp = nms(raw, nms_radius)
+
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    in_border = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    resp = jnp.where(in_border, resp, -jnp.inf)
+
+    flat = resp.ravel()
+    scores, idx = jax.lax.top_k(flat, max_features)
+    yx = jnp.stack(jnp.unravel_index(idx, (h, w)), axis=-1)
+
+    valid = jnp.isfinite(scores) & (scores > quality_level * jnp.max(scores))
+
+    # subpixel refinement on the raw response
+    patches = extract_patches(raw, yx[:, ::-1].astype(jnp.float32), 1)
+    off = subpixel_peak_2d(patches)
+    xy = yx[:, ::-1].astype(jnp.float32) + off
+    return xy, scores, valid
+
+
+def bilinear_sample(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """Bilinear interpolation of img at float (x, y) locations (..., 2).
+
+    Out-of-bounds coordinates clamp to the edge.
+    """
+    h, w = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+def extract_patches(img: jax.Array, centers: jax.Array, radius: int) -> jax.Array:
+    """Bilinear (2r+1)x(2r+1) patches around float centers (N, 2) [x, y].
+
+    Returns (N, 2r+1, 2r+1). The gather-based equivalent of the reference's
+    ROI rectangles (optimisation.cpp:185-186).
+    """
+    k = 2 * radius + 1
+    dy, dx = jnp.meshgrid(
+        jnp.arange(k, dtype=img.dtype) - radius,
+        jnp.arange(k, dtype=img.dtype) - radius,
+        indexing="ij",
+    )
+    offs = jnp.stack([dx, dy], axis=-1)  # (k, k, 2) as (x, y)
+    pts = centers[:, None, None, :] + offs[None]
+    return bilinear_sample(img, pts)
+
+
+def patch_in_bounds(centers: jax.Array, radius: float, h: int, w: int) -> jax.Array:
+    """(N,) bool: whole patch inside the image (the reference's bb.contains
+    guard, optimisation.cpp:155, 183)."""
+    x, y = centers[..., 0], centers[..., 1]
+    return (
+        (x >= radius) & (x < w - radius - 1) & (y >= radius) & (y < h - radius - 1)
+    )
