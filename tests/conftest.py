@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Installed pytest plugins (jaxtyping) import jax BEFORE this conftest runs, so
+# the env var alone is too late; the config update below still takes effect
+# because no backend has been initialized yet at collection time.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

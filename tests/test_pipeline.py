@@ -1,0 +1,91 @@
+"""Golden-sequence integration test on the exactly-rendered synthetic world
+(SURVEY.md section 4, tier 3 — no datasets are available in this environment)."""
+
+import numpy as np
+import pytest
+
+from uasl_motion_estimation_tpu.models.pipeline import OdometryPipeline, default_config
+from uasl_motion_estimation_tpu.ops import geometry as geo
+from uasl_motion_estimation_tpu.utils import metrics
+from uasl_motion_estimation_tpu.utils.synthetic import (
+    CameraRig,
+    SyntheticStereoSequence,
+)
+
+# small frames so the CPU test stays fast; bench.py uses KITTI-size frames
+RIG = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                height=192, width=320)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    return SyntheticStereoSequence(n_frames=12, rig=RIG, seed=4)
+
+
+def test_renderer_stereo_consistency(sequence):
+    """Disparity of the rendered pair must match the analytic depth of the
+    ground plane: d = fu * B / Z."""
+    left, right = sequence.frame(0)
+    assert left.shape == (192, 320)
+    # probe a ground-plane pixel: y below the horizon
+    v, u = 170, 160
+    # ray through pixel: Z where y-down ray hits ground at y=1.7
+    dir_y = (v - RIG.cv) / RIG.fv
+    z = 1.7 / dir_y
+    d_expect = RIG.fu * RIG.baseline / z
+    # brute-force disparity search on that row
+    patch_l = left[v - 3 : v + 4, u - 3 : u + 4]
+    best, best_err = 0, np.inf
+    for d in range(0, 60):
+        patch_r = right[v - 3 : v + 4, u - d - 3 : u - d + 4]
+        err = np.abs(patch_l - patch_r).mean()
+        if err < best_err:
+            best, best_err = d, err
+    assert abs(best - d_expect) <= 1.5
+
+
+def test_trajectory_ate(sequence):
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+    pipe = OdometryPipeline(cfg, seed=1)
+    traj = pipe.run(sequence.frame(i) for i in range(sequence.n_frames))
+    assert traj.shape == (sequence.n_frames, 4, 4)
+
+    gt = sequence.gt_positions()
+    est = traj[:, :3, 3]
+    total_dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    ate = metrics.ate_rmse(est, gt)
+    # < 2% of trajectory length on noise-free synthetic data
+    assert ate < 0.02 * total_dist, f"ATE {ate:.3f} m over {total_dist:.1f} m"
+
+
+def test_failure_keeps_last_pose():
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=128)
+    pipe = OdometryPipeline(cfg, seed=0)
+    flat = np.full((192, 320), 128.0, np.float32)  # untrackable frames
+    pipe.process_pair(flat, flat)
+    rec = pipe.process_pair(flat, flat)
+    assert rec["success"] is False
+    np.testing.assert_array_equal(pipe.trajectory[-1], np.eye(4))
+
+
+def test_metrics_functions():
+    gt = np.cumsum(np.random.default_rng(0).normal(size=(20, 3)), axis=0)
+    # rotated + translated copy must align to ~0 ATE
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                  [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+    est = gt @ R.T + np.array([5.0, -3.0, 2.0])
+    assert metrics.ate_rmse(est, gt) < 1e-9
+    assert metrics.ate_rmse(est, gt, align=False) > 1.0
+
+    poses = np.tile(np.eye(4), (10, 1, 1))
+    poses_gt = poses.copy()
+    poses[:, 0, 3] = np.arange(10) * 1.1
+    poses_gt[:, 0, 3] = np.arange(10) * 1.0
+    t_err, r_err = metrics.rpe(poses, poses_gt)
+    np.testing.assert_allclose(t_err, 0.1, atol=1e-9)
+    np.testing.assert_allclose(r_err, 0.0, atol=1e-9)

@@ -1,0 +1,134 @@
+"""End-to-end stereo odometry pipeline: frames in, trajectory out.
+
+The consumer frame-loop the reference implies but does not ship
+(SURVEY.md section 3.5): detect/match/track (models/frontend.py, new scope) ->
+stereo VO (models/stereo_vo.py) -> pose-chain accumulation
+(poseMultiplicationWithCovariance semantics, feature_types.cpp:172-193).
+
+The per-frame compute is one jit-compiled function with static shapes
+(images, feature budget), so a whole sequence runs with a single compilation;
+the host loop only accumulates 4x4 pose chains and metrics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry as geo
+from ..utils.metrics import MetricsLogger
+from . import frontend as fe
+from .stereo_vo import StereoVOParams, StereoVOResult, stereo_vo_solve
+
+
+class PipelineConfig(NamedTuple):
+    vo: StereoVOParams
+    max_features: int = 500  # TrackingInfo.nb_feats default (file_IO.h:69-73)
+    matcher: fe.MatcherConfig = fe.MatcherConfig()
+    klt: fe.KLTConfig = fe.KLTConfig()
+    detect_nms_radius: int = 5
+    detect_quality: float = 0.01
+
+
+class FrameOutput(NamedTuple):
+    motion: jax.Array  # (4,4) prev-cam -> cur-cam
+    state: jax.Array  # (6,)
+    success: jax.Array
+    n_matches: jax.Array
+    n_inliers: jax.Array
+    mean_reproj_error: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vo_step(
+    prev_left: jax.Array,
+    prev_right: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    key: jax.Array,
+    cfg: PipelineConfig,
+) -> FrameOutput:
+    """One full frame of odometry: front-end + pose solve. Jit-compiled once
+    per (image shape, config)."""
+    qm = fe.quad_match_frames(
+        prev_left,
+        prev_right,
+        cur_left,
+        cur_right,
+        max_features=cfg.max_features,
+        matcher=cfg.matcher,
+        klt=cfg.klt,
+        detect_kwargs=(
+            ("nms_radius", cfg.detect_nms_radius),
+            ("quality_level", cfg.detect_quality),
+        ),
+    )
+    res: StereoVOResult = stereo_vo_solve(qm.uv, qm.valid, key, cfg.vo)
+    return FrameOutput(
+        motion=res.motion,
+        state=res.state,
+        success=res.success,
+        n_matches=jnp.sum(qm.valid),
+        n_inliers=res.n_inliers,
+        mean_reproj_error=res.mean_reproj_error,
+    )
+
+
+class OdometryPipeline:
+    """Host-side frame loop with the reference's degraded-frame contract:
+    a failed frame keeps the last pose and is skipped (SURVEY.md section 5,
+    failure detection)."""
+
+    def __init__(self, cfg: PipelineConfig, seed: int = 0,
+                 logger: MetricsLogger | None = None):
+        self.cfg = cfg
+        self.key = jax.random.key(seed)
+        self.logger = logger
+        self.reset()
+
+    def reset(self):
+        self.pose = np.eye(4)  # cam-to-world of current frame
+        self.trajectory = [self.pose.copy()]
+        self.prev_pair: tuple | None = None
+        self.frame_idx = 0
+
+    def process_pair(self, left: np.ndarray, right: np.ndarray) -> dict:
+        """Feed one stereo pair; returns the per-frame metrics record."""
+        left = jnp.asarray(left, jnp.float32)
+        right = jnp.asarray(right, jnp.float32)
+        rec: dict = {"frame": self.frame_idx}
+        if self.prev_pair is not None:
+            self.key, sub = jax.random.split(self.key)
+            out = vo_step(*self.prev_pair, left, right, sub, self.cfg)
+            success = bool(out.success)
+            if success:
+                # pose_cur = pose_prev * motion^-1 (motion maps prev->cur pts)
+                self.pose = self.pose @ np.linalg.inv(np.asarray(out.motion, np.float64))
+            rec.update(
+                success=success,
+                n_matches=int(out.n_matches),
+                n_inliers=int(out.n_inliers),
+                mean_reproj_error=float(out.mean_reproj_error),
+            )
+            self.trajectory.append(self.pose.copy())
+        self.prev_pair = (left, right)
+        self.frame_idx += 1
+        if self.logger is not None:
+            self.logger.log(**rec)
+        return rec
+
+    def run(self, frames: Iterable[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+        """Process a whole sequence; returns (N, 4, 4) cam-to-world poses."""
+        for left, right in frames:
+            self.process_pair(left, right)
+        return np.asarray(self.trajectory)
+
+
+def default_config(intr: geo.Intrinsics, baseline: float, **vo_overrides
+                   ) -> PipelineConfig:
+    vo = StereoVOParams(intr1=intr, intr2=intr, baseline=baseline, **vo_overrides)
+    return PipelineConfig(vo=vo)

@@ -1,0 +1,170 @@
+"""Synthetic stereo-sequence renderer with exact ground truth.
+
+The build environment has no datasets (zero egress), so integration tests and
+benchmarks run on an exactly-rendered synthetic world: textured planes
+(ground + side walls + backdrop) ray-cast into a rectified stereo pair along a
+KITTI-like forward trajectory. Geometry is exact, so pose/ATE checks measure
+solver quality, not data quality.
+
+Host-side numpy (cold path by design — the reference's equivalent I/O layer is
+also CPU-side, file_IO.cpp). Camera convention: x right, y down, z forward;
+cam-to-world poses; right camera offset by +baseline along x.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class CameraRig(NamedTuple):
+    fu: float = 718.856
+    fv: float = 718.856
+    cu: float = 607.19
+    cv: float = 185.22
+    baseline: float = 0.5372
+    height: int = 376
+    width: int = 1241
+
+
+class _Plane(NamedTuple):
+    point: np.ndarray  # (3,)
+    normal: np.ndarray  # (3,) unit
+    u_axis: np.ndarray  # (3,) texture u direction
+    v_axis: np.ndarray  # (3,) texture v direction
+    texture: np.ndarray  # (T, T) float32
+    tex_scale: float  # pixels per meter
+
+
+def _smooth_texture(rng: np.ndarray, size: int, octaves: int = 4) -> np.ndarray:
+    """Multi-octave value noise: textured at several scales so both GFTT and
+    coarse pyramid levels of KLT have signal."""
+    tex = np.zeros((size, size), np.float32)
+    amp = 1.0
+    for o in range(octaves):
+        s = max(size >> (octaves - 1 - o), 4)
+        layer = rng.uniform(-1, 1, (s, s)).astype(np.float32)
+        # bilinear upsample to full size
+        yi = np.linspace(0, s - 1, size, dtype=np.float32)
+        xi = np.linspace(0, s - 1, size, dtype=np.float32)
+        y0 = np.clip(yi.astype(int), 0, s - 2)
+        x0 = np.clip(xi.astype(int), 0, s - 2)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        up = (
+            layer[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + layer[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+            + layer[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+            + layer[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+        )
+        tex += amp * up
+        amp *= 0.6
+    tex -= tex.min()
+    tex *= 235.0 / max(tex.max(), 1e-6)
+    return tex + 10.0
+
+
+def kitti_like_trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0.004
+                          ) -> np.ndarray:
+    """(N, 4, 4) cam-to-world poses: forward motion with a gentle sinusoidal
+    yaw (KITTI seq-00-like scale: ~0.8 m/frame at 10 Hz)."""
+    poses = np.zeros((n_frames, 4, 4))
+    pos = np.zeros(3)
+    yaw = 0.0
+    for i in range(n_frames):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])  # yaw about y (down)
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        fwd = R @ np.array([0.0, 0.0, 1.0])
+        pos = pos + speed * fwd
+        yaw += yaw_rate * np.sin(0.05 * i) * 25
+    return poses
+
+
+class SyntheticStereoSequence:
+    """Renders (left, right) uint8-range float32 frames plus exact GT poses."""
+
+    def __init__(
+        self,
+        n_frames: int = 50,
+        rig: CameraRig = CameraRig(),
+        seed: int = 0,
+        trajectory: np.ndarray | None = None,
+        tex_size: int = 1024,
+    ):
+        self.rig = rig
+        self.n_frames = n_frames
+        self.poses = (
+            trajectory if trajectory is not None else kitti_like_trajectory(n_frames)
+        )
+        rng = np.random.default_rng(seed)
+        mk = lambda: _smooth_texture(rng, tex_size)
+        big = 400.0  # meters of world covered by one texture tile
+        self.planes = [
+            # ground plane at y = +1.7 (camera 1.7 m above ground, y down)
+            _Plane(np.array([0.0, 1.7, 0.0]), np.array([0.0, -1.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]), mk(),
+                   tex_size / big),
+            # left wall at x = -12
+            _Plane(np.array([-12.0, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), mk(),
+                   tex_size / big),
+            # right wall at x = +12
+            _Plane(np.array([12.0, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), mk(),
+                   tex_size / big),
+        ]
+
+    def _render(self, T_c2w: np.ndarray) -> np.ndarray:
+        rig = self.rig
+        h, w = rig.height, rig.width
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        d_cam = np.stack(
+            [(xs - rig.cu) / rig.fu, (ys - rig.cv) / rig.fv, np.ones_like(xs)], -1
+        )  # (h, w, 3)
+        R, c = T_c2w[:3, :3], T_c2w[:3, 3]
+        d_world = d_cam @ R.T  # (h, w, 3)
+
+        best_t = np.full((h, w), np.inf, np.float32)
+        out = np.full((h, w), 96.0, np.float32)  # sky/backdrop value
+        for pl in self.planes:
+            denom = d_world @ pl.normal
+            num = (pl.point - c) @ pl.normal
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = num / denom
+            hit = (t > 0.5) & (t < best_t) & (np.abs(denom) > 1e-9)
+            if not hit.any():
+                continue
+            t_safe = np.where(hit, t, 1.0)
+            p = c + t_safe[..., None] * d_world  # world intersection
+            tu = ((p - pl.point) @ pl.u_axis) * pl.tex_scale
+            tv = ((p - pl.point) @ pl.v_axis) * pl.tex_scale
+            ts = pl.texture.shape[0]
+            tu, tv = np.mod(tu, ts - 1), np.mod(tv, ts - 1)
+            u0 = tu.astype(np.int32)
+            v0 = tv.astype(np.int32)
+            fu_ = tu - u0
+            fv_ = tv - v0
+            tex = pl.texture
+            val = (
+                tex[v0, u0] * (1 - fv_) * (1 - fu_)
+                + tex[v0, u0 + 1] * (1 - fv_) * fu_
+                + tex[v0 + 1, u0] * fv_ * (1 - fu_)
+                + tex[v0 + 1, u0 + 1] * fv_ * fu_
+            )
+            out = np.where(hit, val, out)
+            best_t = np.where(hit, t, best_t)
+        return out
+
+    def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(left, right) float32 (H, W) images for frame i."""
+        T = self.poses[i]
+        T_right = T.copy()
+        T_right[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([self.rig.baseline, 0, 0])
+        return self._render(T), self._render(T_right)
+
+    def gt_positions(self) -> np.ndarray:
+        return self.poses[:, :3, 3].copy()
