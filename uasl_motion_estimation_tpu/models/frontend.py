@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import image as im
 from ..ops import similarity as sim
+from ..ops import stereo as st
 
 
 class MatcherConfig(NamedTuple):
@@ -36,7 +37,7 @@ class MatcherConfig(NamedTuple):
 
 
 class KLTConfig(NamedTuple):
-    n_levels: int = 4
+    n_levels: int = 5  # +-(2^levels * window) px range; 5 covers ~+-80 px
     window_radius: int = 5
     iters: int = 10
     min_eig_threshold: float = 1e-4
@@ -77,37 +78,35 @@ def match_stereo(
     h, w = img_left.shape
     n = feats_left.shape[0]
     r = cfg.patch_radius
-    d_range = jnp.arange(cfg.max_disparity, dtype=img_left.dtype)
-
-    patches_l = im.extract_patches(img_left, feats_left, r)  # (N, k, k)
-
-    # candidate centers: (N, D, 2)
-    cand = jnp.stack(
-        [
-            feats_left[:, None, 0] - d_range[None, :],
-            jnp.broadcast_to(feats_left[:, None, 1], (n, cfg.max_disparity)),
-        ],
-        axis=-1,
-    )
-    cand_flat = cand.reshape(-1, 2)
-    patches_r = im.extract_patches(img_right, cand_flat, r).reshape(
-        n, cfg.max_disparity, 2 * r + 1, 2 * r + 1
-    )
-
-    cand_ok = im.patch_in_bounds(cand, r + 1, h, w)  # (N, D)
 
     if use_mi:
+        # MI has no moment decomposition, so the cross-modal path stays
+        # patch-gather based (it runs on small cross-modal feature budgets)
+        d_range = jnp.arange(cfg.max_disparity, dtype=img_left.dtype)
+        cand = jnp.stack(
+            [
+                feats_left[:, None, 0] - d_range[None, :],
+                jnp.broadcast_to(feats_left[:, None, 1], (n, cfg.max_disparity)),
+            ],
+            axis=-1,
+        )
+        patches_l = im.extract_patches(img_left, feats_left, r)  # (N, k, k)
+        patches_r = im.extract_patches(img_right, cand.reshape(-1, 2), r).reshape(
+            n, cfg.max_disparity, 2 * r + 1, 2 * r + 1
+        )
+        cand_ok = im.patch_in_bounds(cand, r + 1, h, w)  # (N, D)
         scores = sim.mutual_information(
             patches_l[:, None], patches_r, bins=cfg.mi_bins
         )  # (N, D)
+        scores = jnp.where(cand_ok, scores, -jnp.inf)
         min_score = cfg.mi_min_score
     else:
-        vl = _normalized_patch_vectors(patches_l)  # (N, P)
-        vr = _normalized_patch_vectors(patches_r)  # (N, D, P)
-        scores = jnp.einsum("np,ndp->nd", vl, vr)
+        # dense ZNCC cost volume from box-filtered moments: no per-candidate
+        # gathers (ops/stereo.py), sampled at the feature locations
+        scores = st.zncc_disparity_scores(
+            img_left, img_right, feats_left, cfg.max_disparity, r
+        )
         min_score = cfg.min_score
-
-    scores = jnp.where(cand_ok, scores, -jnp.inf)
     best = jnp.argmax(scores, axis=-1)  # (N,)
     best_score = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
 

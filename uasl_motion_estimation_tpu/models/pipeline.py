@@ -78,6 +78,35 @@ def vo_step(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def vo_sequence_step(
+    prev_left: jax.Array,
+    prev_right: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    keys: jax.Array,
+    cfg: PipelineConfig,
+) -> tuple[jax.Array, FrameOutput]:
+    """Batched sequence processing: B frame pairs -> B chained poses in ONE
+    dispatch.
+
+    The per-frame problems are independent (they couple only through the pose
+    chain), so the whole batch runs as a vmap and the sequential recurrence
+    pose_i = pose_{i-1} @ inv(motion_i) becomes a parallel associative scan —
+    no host round-trip per frame (dispatch latency amortizes over B frames,
+    and on a mesh the same code shards over segments; parallel/segments.py).
+    """
+    from ..parallel.segments import chain_motions
+
+    out = jax.vmap(lambda a, b, c, d, k: vo_step(a, b, c, d, k, cfg))(
+        prev_left, prev_right, cur_left, cur_right, keys
+    )
+    eye = jnp.eye(4, dtype=out.motion.dtype)
+    motion = jnp.where(out.success[:, None, None], out.motion, eye)
+    poses = chain_motions(motion)  # (B, 4, 4) cam-to-world rel. to frame 0
+    return poses, out
+
+
 class OdometryPipeline:
     """Host-side frame loop with the reference's degraded-frame contract:
     a failed frame keeps the last pose and is skipped (SURVEY.md section 5,
@@ -104,15 +133,20 @@ class OdometryPipeline:
         if self.prev_pair is not None:
             self.key, sub = jax.random.split(self.key)
             out = vo_step(*self.prev_pair, left, right, sub, self.cfg)
-            success = bool(out.success)
+            # ONE device_get for the whole pytree: the tunnel/PCIe round-trip
+            # per transfer dominates per-frame latency, not the bytes
+            host = jax.device_get(out)
+            success = bool(host.success)
             if success:
                 # pose_cur = pose_prev * motion^-1 (motion maps prev->cur pts)
-                self.pose = self.pose @ np.linalg.inv(np.asarray(out.motion, np.float64))
+                self.pose = self.pose @ np.linalg.inv(
+                    np.asarray(host.motion, np.float64)
+                )
             rec.update(
                 success=success,
-                n_matches=int(out.n_matches),
-                n_inliers=int(out.n_inliers),
-                mean_reproj_error=float(out.mean_reproj_error),
+                n_matches=int(host.n_matches),
+                n_inliers=int(host.n_inliers),
+                mean_reproj_error=float(host.mean_reproj_error),
             )
             self.trajectory.append(self.pose.copy())
         self.prev_pair = (left, right)
@@ -125,6 +159,48 @@ class OdometryPipeline:
         """Process a whole sequence; returns (N, 4, 4) cam-to-world poses."""
         for left, right in frames:
             self.process_pair(left, right)
+        return np.asarray(self.trajectory)
+
+    def run_batched(
+        self,
+        frames: list[tuple[np.ndarray, np.ndarray]],
+        chunk: int = 16,
+    ) -> np.ndarray:
+        """Device-resident batch processing: ``chunk`` frame pairs per
+        dispatch (throughput mode; `run` is the streaming/latency mode).
+
+        Returns (N, 4, 4) cam-to-world poses.
+        """
+        n = len(frames)
+        ls = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
+        rs = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+        base = self.pose.copy()
+        for start in range(0, n - 1, chunk):
+            stop = min(start + chunk, n - 1)
+            b = stop - start
+            # pad the last chunk to the static chunk size (single compile)
+            idx = jnp.clip(jnp.arange(chunk) + start, 0, n - 2)
+            self.key, sub = jax.random.split(self.key)
+            keys = jax.random.split(sub, chunk)
+            poses, out = vo_sequence_step(
+                ls[idx], rs[idx], ls[idx + 1], rs[idx + 1], keys, self.cfg
+            )
+            poses = np.asarray(poses[:b], np.float64)
+            for i in range(b):
+                self.trajectory.append(base @ poses[i])
+            base = base @ poses[b - 1]
+            if self.logger is not None:
+                host = jax.device_get(out)
+                for i in range(b):
+                    self.logger.log(
+                        frame=self.frame_idx + start + i + 1,
+                        success=bool(host.success[i]),
+                        n_matches=int(host.n_matches[i]),
+                        n_inliers=int(host.n_inliers[i]),
+                        mean_reproj_error=float(host.mean_reproj_error[i]),
+                    )
+        self.pose = base
+        self.frame_idx += n
         return np.asarray(self.trajectory)
 
 

@@ -124,12 +124,15 @@ def _jacobian(state: jax.Array, pts3: jax.Array, p: StereoVOParams) -> jax.Array
 
 
 def _normal_eq(state, pts3, obs, weights, p: StereoVOParams):
-    """(JJ, Jr, mean-squared-residual-cost) over weighted matches."""
+    """(JJ, Jr, mean-squared-residual-cost) over weighted matches.
+
+    The 6x6 normal equations need full f32 products — the TPU's default
+    mixed bf16 matmul precision visibly degrades the pose solution."""
     res = _residuals(state, pts3, obs, p)  # (N, 4)
     J = _jacobian(state, pts3, p)  # (N, 4, 6)
     w = weights[..., None]
-    JJ = jnp.einsum("nri,nrj->ij", J * w[..., None], J)
-    Jr = jnp.einsum("nri,nr->i", J, res * w)
+    JJ = jnp.einsum("nri,nrj->ij", J * w[..., None], J, precision="highest")
+    Jr = jnp.einsum("nri,nr->i", J, res * w, precision="highest")
     n_eff = jnp.maximum(jnp.sum(weights) * 4.0, 1.0)
     cost = jnp.sum(res * res * w) / n_eff  # mean over residual rows (cpp:187)
     return JJ, Jr, cost
@@ -232,8 +235,11 @@ def stereo_vo_solve(
         sample_valid = jnp.all(valid[samples], axis=-1) & spread_ok
 
         def run_hyp(idx3):
-            w = jnp.zeros(n, dtype).at[idx3].set(1.0)
-            return _gn_fixed(init, pts3, obs, w * valid_f, p, p.ransac_gn_iters)
+            # gather the 3-point subproblem instead of masking all N matches:
+            # the per-hypothesis GN touches 3 rows, not 500
+            return _gn_fixed(
+                init, pts3[idx3], obs[idx3], valid_f[idx3], p, p.ransac_gn_iters
+            )
 
         hyp_states = jax.vmap(run_hyp)(samples)  # (H, 6)
 

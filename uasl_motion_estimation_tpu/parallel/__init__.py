@@ -1,0 +1,7 @@
+from .segments import (  # noqa: F401
+    chain_motions,
+    make_mesh,
+    shard_frames,
+    sharded_chain_motions,
+    sharded_sequence_vo,
+)

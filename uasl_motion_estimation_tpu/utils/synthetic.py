@@ -65,10 +65,13 @@ def _smooth_texture(rng: np.ndarray, size: int, octaves: int = 4) -> np.ndarray:
     return tex + 10.0
 
 
-def kitti_like_trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0.004
-                          ) -> np.ndarray:
-    """(N, 4, 4) cam-to-world poses: forward motion with a gentle sinusoidal
-    yaw (KITTI seq-00-like scale: ~0.8 m/frame at 10 Hz)."""
+def kitti_like_trajectory(n_frames: int, speed: float = 0.8,
+                          max_yaw_rate: float = 0.03) -> np.ndarray:
+    """(N, 4, 4) cam-to-world poses: forward motion with a sinusoidal yaw.
+
+    KITTI seq-00-like scale: ~0.8 m/frame at 10 Hz, with peak yaw rate
+    ~0.03 rad/frame (matching real sequences; above ~0.1 rad/frame the
+    inter-frame image shift exceeds any tracker's pyramid range)."""
     poses = np.zeros((n_frames, 4, 4))
     pos = np.zeros(3)
     yaw = 0.0
@@ -80,7 +83,7 @@ def kitti_like_trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0
         poses[i, :3, 3] = pos
         fwd = R @ np.array([0.0, 0.0, 1.0])
         pos = pos + speed * fwd
-        yaw += yaw_rate * np.sin(0.05 * i) * 25
+        yaw += max_yaw_rate * np.sin(0.05 * i)
     return poses
 
 
