@@ -1,0 +1,70 @@
+"""Full-system integration: persistent tracks + VO + windowed BA on the
+synthetic sequence (SURVEY.md section 4, tier 3; BASELINE config 4)."""
+
+import numpy as np
+import pytest
+
+from uasl_motion_estimation_tpu.models.frontend import MatcherConfig
+from uasl_motion_estimation_tpu.models.odometry import (
+    OdometryConfig,
+    OdometrySystem,
+)
+from uasl_motion_estimation_tpu.models.stereo_vo import StereoVOParams
+from uasl_motion_estimation_tpu.ops import geometry as geo
+from uasl_motion_estimation_tpu.utils import metrics
+from uasl_motion_estimation_tpu.utils.synthetic import (
+    CameraRig,
+    SyntheticStereoSequence,
+)
+
+RIG = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                height=192, width=320)
+
+
+def make_cfg(**over):
+    intr = geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv)
+    vo = StereoVOParams(intr1=intr, intr2=intr, baseline=RIG.baseline)
+    base = dict(vo=vo, max_tracks=256, window=5, ba_rate=5,
+                matcher=MatcherConfig(max_disparity=96))
+    base.update(over)
+    return OdometryConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def sequence():
+    seq = SyntheticStereoSequence(n_frames=14, rig=RIG, seed=4)
+    return seq, [seq.frame(i) for i in range(seq.n_frames)]
+
+
+def test_tracked_vo_trajectory(sequence):
+    seq, frames = sequence
+    sysm = OdometrySystem(make_cfg(), seed=1, use_ba=False)
+    traj = sysm.run(frames)
+    assert traj.shape == (seq.n_frames, 4, 4)
+    gt = seq.gt_positions()
+    dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    ate = metrics.ate_rmse(traj[:, :3, 3], gt)
+    assert ate < 0.02 * dist, f"ATE {ate:.3f} m over {dist:.1f} m"
+
+
+def test_tracks_persist_across_frames(sequence):
+    _, frames = sequence
+    sysm = OdometrySystem(make_cfg(), seed=1, use_ba=False)
+    recs = [sysm.process_pair(*f) for f in frames[:6]]
+    # steady state keeps a healthy track population and match counts
+    assert all(r["n_tracks"] > 50 for r in recs[1:]), recs
+    assert all(r["n_matches"] > 30 for r in recs[1:]), recs
+
+
+def test_ba_refinement_runs_and_helps(sequence):
+    seq, frames = sequence
+    no_ba = OdometrySystem(make_cfg(), seed=1, use_ba=False)
+    traj0 = no_ba.run(frames)
+    with_ba = OdometrySystem(make_cfg(), seed=1, use_ba=True)
+    traj1 = with_ba.run(frames)
+    gt = seq.gt_positions()
+    ate0 = metrics.ate_rmse(traj0[:, :3, 3], gt)
+    ate1 = metrics.ate_rmse(traj1[:, :3, 3], gt)
+    # BA must not blow up the trajectory; on near-exact synthetic data the
+    # improvement can be marginal, so allow a small tolerance band
+    assert ate1 < max(1.5 * ate0, 0.02), (ate0, ate1)
