@@ -1,0 +1,93 @@
+"""Mono VO tests on synthetic two-view geometry (SURVEY.md section 4 tier 2):
+exact projections -> recovered (R, t) up to scale; outlier injection ->
+RANSAC inlier recovery; degenerate inputs -> clean failure."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uasl_motion_estimation_tpu.models.mono_vo import MonoVOParams, mono_vo_solve
+from uasl_motion_estimation_tpu.ops import geometry as geo, lie
+
+INTR = geo.Intrinsics(fu=500.0, fv=500.0, cu=320.0, cv=240.0)
+
+
+def make_two_view(n=200, rotvec=(0.01, 0.03, 0.005), trans=(0.2, -0.1, 1.0),
+                  seed=0, noise=0.0):
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(-6, 6, n), rng.uniform(-4, 4, n), rng.uniform(6, 30, n)],
+        -1,
+    )
+    R = np.asarray(lie.so3_exp(jnp.asarray(rotvec, jnp.float32)))
+    t = np.asarray(trans)
+    pc2 = pts @ R.T + t
+
+    def proj(p):
+        return np.stack(
+            [500.0 * p[:, 0] / p[:, 2] + 320.0, 500.0 * p[:, 1] / p[:, 2] + 240.0],
+            -1,
+        )
+
+    uv1, uv2 = proj(pts), proj(pc2)
+    uv1 += rng.normal(scale=noise, size=uv1.shape)
+    uv2 += rng.normal(scale=noise, size=uv2.shape)
+    matches = np.stack([uv1, uv2], axis=1).astype(np.float32)
+    return matches, R, t, pts
+
+
+class TestMonoVO:
+    def test_exact_recovery(self):
+        matches, R, t, _ = make_two_view()
+        res = mono_vo_solve(
+            jnp.asarray(matches), jnp.ones(len(matches), bool),
+            jax.random.key(0), MonoVOParams(intr=INTR),
+        )
+        assert bool(res.success)
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-3)
+        t_unit = t / np.linalg.norm(t)
+        np.testing.assert_allclose(np.asarray(res.t), t_unit, atol=5e-3)
+
+    def test_outlier_rejection(self):
+        matches, R, t, _ = make_two_view(noise=0.3, seed=3)
+        rng = np.random.default_rng(9)
+        bad = rng.choice(len(matches), 40, replace=False)
+        matches[bad, 1] += rng.uniform(20, 120, (40, 2)).astype(np.float32)
+        res = mono_vo_solve(
+            jnp.asarray(matches), jnp.ones(len(matches), bool),
+            jax.random.key(1), MonoVOParams(intr=INTR, inlier_threshold=2.0),
+        )
+        assert bool(res.success)
+        inl = np.asarray(res.inlier_mask)
+        assert inl[bad].sum() <= 4, inl[bad].sum()  # outliers excluded
+        # linear refit under 0.3 px noise: ~1e-2 rotation accuracy
+        np.testing.assert_allclose(np.asarray(res.R), R, atol=1.5e-2)
+
+    def test_too_few_matches_fails(self):
+        matches, *_ = make_two_view(n=12)
+        valid = jnp.zeros(12, bool).at[:5].set(True)
+        res = mono_vo_solve(
+            jnp.asarray(matches), valid, jax.random.key(0),
+            MonoVOParams(intr=INTR),
+        )
+        assert not bool(res.success)
+
+    def test_triangulated_depths_positive(self):
+        matches, R, t, pts = make_two_view()
+        res = mono_vo_solve(
+            jnp.asarray(matches), jnp.ones(len(matches), bool),
+            jax.random.key(0), MonoVOParams(intr=INTR),
+        )
+        X = np.asarray(res.pts3d)
+        inl = np.asarray(res.inlier_mask)
+        assert (X[inl, 2] > 0).mean() > 0.95
+        # up-to-scale structure: depth ratios match ground truth
+        s = np.median(pts[inl, 2] / X[inl, 2])
+        np.testing.assert_allclose(X[inl, 2] * s, pts[inl, 2], rtol=0.05)
+
+    def test_relative_scale_parity(self):
+        """findRelativeScale capability (MonoVisualOdometry.cpp:76-87)."""
+        _, _, _, pts = make_two_view()
+        scaled = pts * 2.5
+        s = geo.relative_scale(jnp.asarray(scaled), jnp.asarray(pts))
+        np.testing.assert_allclose(float(s), 2.5, rtol=1e-5)

@@ -128,7 +128,10 @@ def lm_solve(
 
         def solve_step(mu_):
             A = JJ + mu_ * jnp.eye(k_dim, dtype=JJ.dtype) if cfg.use_lm else JJ
-            dx = sign * jnp.linalg.solve(A, Jr)
+            # the step is always +solve(JJ, e): for maximization the caller's
+            # e = +J^T res already points uphill (optimisation.cpp:666-667,
+            # 706: dX = solve(JJ, e)); the minim sign only enters acceptance
+            dx = jnp.linalg.solve(A, Jr)
             ok = jnp.all(jnp.isfinite(dx))
             return jnp.where(ok, dx, 0.0), ok
 
@@ -159,7 +162,7 @@ def lm_solve(
             x_test = update(x_, dx)
             _, _, cost_test = normal_eq_fn(x_test)
             # gain ratio rho (cpp:252): (F(x) - F(x_test)) / (dx^T (mu dx + Jr))
-            denom = jnp.dot(dx, mu_ * dx + sign * Jr)
+            denom = jnp.dot(dx, mu_ * dx + Jr)
             rho = sign * (cost - cost_test) / jnp.where(denom == 0, 1e-30, denom)
             accept = ok & (rho > 0) & ~small_incr
 
