@@ -1,0 +1,180 @@
+"""I/O layer tests: YML round-trip against the reference schema, CSV header
+discovery, IMU average-to-stamp sync, image sequence layouts, GPS conversion."""
+
+import numpy as np
+import pytest
+
+from uasl_motion_estimation_tpu.utils import io as uio
+from uasl_motion_estimation_tpu.utils.sensors import GpsFrame, ImuData
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def yml_config(tmp_path):
+    p = tmp_path / "config.yml"
+    p.write_text(
+        """%YAML:1.0
+---
+dataset:
+   dir: "/data/seq00"
+   type: "stereo"
+   gt: "gt.csv"
+frames:
+   start: 10
+   stop: 100
+   skip: 2
+tracking:
+   feats: 300
+   window: 7
+   ba_rate: 3
+calib:
+   f1: 718.856
+   f2: 718.856
+   cu: 607.19
+   cv: 185.22
+   baseline: 0.5372
+   ransac: "true"
+   threshold: 1.5
+   method: "GN"
+appendix: "ir"
+"""
+    )
+    return str(p)
+
+
+class TestYmlConfig:
+    def test_load(self, yml_config):
+        cfg = uio.load_yml(yml_config)
+        assert cfg.dataset.type == "stereo"
+        assert cfg.dataset.dir == "/data/seq00"
+        assert cfg.frames.start == 10 and cfg.frames.skip == 2
+        assert cfg.tracking.nb_feats == 300 and cfg.tracking.window_size == 7
+        assert cfg.calib.fu1 == pytest.approx(718.856)
+        assert cfg.calib.cu1 == pytest.approx(607.19)
+        assert cfg.calib.baseline == pytest.approx(0.5372)
+        assert cfg.calib.inlier_threshold == pytest.approx(1.5)
+        assert cfg.appendix == "ir"
+
+    def test_legacy_keys(self, tmp_path):
+        p = tmp_path / "legacy.yml"
+        p.write_text(
+            """%YAML:1.0
+---
+dataset:
+   type: "stereo"
+calib:
+   fu1: 400.
+   fu2: 410.
+   fv1: 401.
+   fv2: 411.
+   cu1: 320.
+   cu2: 321.
+   cv1: 240.
+   cv2: 241.
+   baseline: 0.3
+"""
+        )
+        cfg = uio.load_yml(str(p))
+        assert cfg.calib.fu1 == 400.0 and cfg.calib.fu2 == 410.0
+        assert cfg.calib.cu1 == 320.0 and cfg.calib.cu2 == 321.0
+        # defaults kick in (skip=1, feat_cov=1.0; file_IO.h:61-62, 88-89)
+        assert cfg.frames.skip == 1
+        assert cfg.tracking.feat_cov == 1.0
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            uio.load_yml("/nonexistent/x.yml")
+
+
+class TestCsv:
+    def test_header_discovery(self, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text("# timestamp, x, y, z\n1, 1.0, 2.0, 3.0\n2, 4.0, 5.0, 6.0\n")
+        f = uio.CsvFile(str(p))
+        assert f.columns == ["timestamp", "x", "y", "z"]
+        rows = list(f.rows())
+        assert rows[1]["y"] == 5.0
+
+    def test_no_header_raises(self, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("1, 2, 3\n")
+        with pytest.raises(ValueError):
+            uio.CsvFile(str(p))
+
+    def test_imu_average_sync(self, tmp_path):
+        """ImuFile::getNextData averages samples up to the stamp
+        (file_IO.cpp:252-270)."""
+        p = tmp_path / "imu.csv"
+        p.write_text(
+            "# timestamp, acc_x, acc_y, acc_z, av_x, av_y, av_z\n"
+            "1, 1, 0, 0, 0.1, 0, 0\n"
+            "2, 2, 0, 0, 0.2, 0, 0\n"
+            "3, 3, 0, 0, 0.3, 0, 0\n"
+            "10, 9, 0, 0, 0.9, 0, 0\n"
+        )
+        f = uio.ImuFile(str(p))
+        d, n = f.get_next(5)
+        assert n == 3
+        assert d.acc[0] == pytest.approx(2.0)  # mean of 1,2,3
+        assert d.gyr[0] == pytest.approx(0.2)
+        assert d.stamp == 3
+        d2, n2 = f.get_next(20)
+        assert n2 == 1 and d2.acc[0] == pytest.approx(9.0)
+
+    def test_pose_sync_advances_past_stamp(self, tmp_path):
+        p = tmp_path / "pose.csv"
+        p.write_text("# timestamp, x, y, z\n1, 0, 0, 0\n5, 1, 0, 0\n9, 2, 0, 0\n")
+        f = uio.PoseFile(str(p))
+        d = f.get_next(4)
+        assert d.stamp == 5 and d.position[0] == 1.0
+
+
+class TestImageSequence:
+    def test_kitti_layout_and_crop(self, tmp_path):
+        img = np.random.default_rng(0).integers(0, 255, (400, 200), np.uint8)
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / f"L_{i:06d}.png"), img)
+            cv2.imwrite(str(tmp_path / f"R_{i:06d}.png"), img)
+        rd = uio.ImageSequenceReader(str(tmp_path))
+        left, right = rd.read_frame(0)
+        assert left.shape == (374, 200)  # KITTI crop (file_IO.cpp:313-340)
+        frames = list(rd)
+        assert len(frames) == 3
+
+    def test_generic_layout_with_appendix(self, tmp_path):
+        img = np.zeros((40, 60), np.uint8)
+        cv2.imwrite(str(tmp_path / "cam0_image00007_ir.png"), img)
+        cv2.imwrite(str(tmp_path / "cam1_image00007_ir.png"), img)
+        rd = uio.ImageSequenceReader(str(tmp_path), appendix="ir")
+        left, right = rd.read_frame(7)
+        assert left.shape == (40, 60)
+
+    def test_frame_skip(self, tmp_path):
+        img = np.zeros((10, 10), np.uint8)
+        for i in range(6):
+            cv2.imwrite(str(tmp_path / f"L_{i:06d}.png"), img)
+            cv2.imwrite(str(tmp_path / f"R_{i:06d}.png"), img)
+        rd = uio.ImageSequenceReader(
+            str(tmp_path), uio.FrameConfig(start=0, stop=5, skip=2)
+        )
+        assert len(list(rd)) == 3
+
+
+class TestGps:
+    def test_origin_is_zero(self):
+        f = GpsFrame(origin_lat=52.0, origin_lon=-0.5)
+        np.testing.assert_allclose(f.to_cartesian(52.0, -0.5), [0.0, 0.0])
+
+    def test_one_degree_latitude_meters(self):
+        f = GpsFrame(origin_lat=52.0, origin_lon=0.0)
+        xy = f.to_cartesian(53.0, 0.0)
+        # ~111.2-111.4 km/degree latitude at 52N, along +y in frame angle 0
+        assert 110_500 < abs(xy[1]) < 111_700
+
+    def test_imu_accumulate_average(self):
+        a = ImuData(acc=np.array([1.0, 0, 0]), stamp=1)
+        b = ImuData(acc=np.array([3.0, 0, 0]), stamp=2)
+        a += b
+        a /= 2
+        assert a.acc[0] == 2.0 and a.stamp == 2
