@@ -50,6 +50,11 @@ def render_sequence():
 def run_tpu(rig, seq, frames):
     import jax
 
+    # persistent compilation cache: a cold KITTI-shape compile through the
+    # TPU tunnel takes minutes; cached recompiles are seconds
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from uasl_motion_estimation_tpu.models.pipeline import (
         OdometryPipeline,
         default_config,
@@ -60,14 +65,13 @@ def run_tpu(rig, seq, frames):
     cfg = default_config(
         Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline
     )
-    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
-    # warmup run compiles the batched step (throughput mode: many frame
-    # pairs per dispatch, device-resident — dispatch latency amortized)
+    chunk = int(os.environ.get("BENCH_CHUNK", "8"))
+    # warmup compiles the single-dispatch sequence step
     warm = OdometryPipeline(cfg, seed=0)
-    warm.run_batched(frames[: chunk + 1], chunk=chunk)
+    warm.run_sequence(frames, chunk=chunk)
     pipe = OdometryPipeline(cfg, seed=0)
     t0 = time.perf_counter()
-    traj = pipe.run_batched(frames, chunk=chunk)
+    traj = pipe.run_sequence(frames, chunk=chunk)
     dt = time.perf_counter() - t0
     fps = (N_FRAMES - 1) / dt
     ate = ate_rmse(traj[:, :3, 3], seq.gt_positions())

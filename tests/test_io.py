@@ -178,3 +178,41 @@ class TestGps:
         a += b
         a /= 2
         assert a.acc[0] == 2.0 and a.stamp == 2
+
+
+class TestPcAndControl:
+    def test_pc_image_loader(self, tmp_path):
+        img = np.full((20, 30), 128, np.uint8)
+        for cam in (0, 1):
+            for sfx in uio.PC_PLANES:
+                cv2.imwrite(str(tmp_path / f"cam{cam}_image00003_{sfx}.png"), img)
+        left, right = uio.load_pc_images(str(tmp_path), 3)
+        assert left.shape == (4, 20, 30)
+        np.testing.assert_allclose(left, 128 / 255.0)
+
+    def test_run_controller_file_commands(self, tmp_path):
+        ctl = tmp_path / "control"
+        rc = uio.RunController(str(ctl), poll_s=0.01)
+        assert rc.checkpoint() is True  # no file -> run
+        ctl.write_text("quit")
+        assert rc.checkpoint() is False
+
+    def test_run_controller_pause_resume(self, tmp_path):
+        import threading
+        import time as _t
+
+        ctl = tmp_path / "control"
+        ctl.write_text("pause")
+        rc = uio.RunController(str(ctl), poll_s=0.01)
+        result = {}
+
+        def worker():
+            result["ok"] = rc.checkpoint()
+
+        th = threading.Thread(target=worker)
+        th.start()
+        _t.sleep(0.05)
+        assert th.is_alive()  # blocked in pause
+        ctl.write_text("resume")
+        th.join(timeout=2.0)
+        assert result.get("ok") is True

@@ -98,3 +98,60 @@ class TestShardedSequence:
         np.testing.assert_allclose(
             np.asarray(poses), serial_chain(motions), atol=5e-4
         )
+
+
+class TestStitching:
+    def make_segments(self, s=4, f=8, overlap=2, noise=0.0, seed=0):
+        """Ground-truth trajectory cut into overlapping segments, each
+        re-gauged to its own first frame (+ optional per-segment noise)."""
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        rng = np.random.default_rng(seed)
+        n = s * (f - overlap) + overlap
+        gt = []
+        pose = np.eye(4)
+        for i in range(n):
+            T = np.eye(4)
+            T[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray(
+                rng.normal(scale=0.02, size=3), jnp.float32)))
+            T[:3, 3] = [0.1, 0, 0.8]
+            pose = pose @ T
+            gt.append(pose.copy())
+        gt = np.stack(gt)
+        segs = []
+        for si in range(s):
+            start = si * (f - overlap)
+            chunk = gt[start : start + f].copy()
+            chunk = np.linalg.inv(chunk[0]) @ chunk  # own gauge
+            if noise:
+                for k in range(1, f):
+                    d = np.eye(4)
+                    d[:3, 3] = rng.normal(scale=noise, size=3)
+                    chunk[k] = chunk[k] @ d
+            segs.append(chunk)
+        return jnp.asarray(np.stack(segs), jnp.float32), gt
+
+    def test_exact_segments_stitch_exactly(self):
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        segs, gt = self.make_segments()
+        out = np.asarray(stitching.stitch_segments(segs, overlap=2))
+        want = np.linalg.inv(gt[0]) @ gt
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, atol=1e-4)
+
+    def test_noisy_overlap_fuses(self):
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        segs, gt = self.make_segments(noise=0.01, seed=3)
+        out = np.asarray(stitching.stitch_segments(segs, overlap=2))
+        want = np.linalg.inv(gt[0]) @ gt
+        err = np.linalg.norm(out[:, :3, 3] - want[:, :3, 3], axis=-1)
+        assert err.max() < 0.15, err.max()
+
+    def test_covariance_weights_prefer_confident_frames(self):
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        covs = jnp.stack([jnp.eye(6) * 1e-4, jnp.eye(6) * 1e2])
+        w = np.asarray(stitching.weights_from_covariances(covs))
+        assert w[0] > 1e3 * w[1]

@@ -89,3 +89,19 @@ def test_metrics_functions():
     t_err, r_err = metrics.rpe(poses, poses_gt)
     np.testing.assert_allclose(t_err, 0.1, atol=1e-9)
     np.testing.assert_allclose(r_err, 0.0, atol=1e-9)
+
+
+def test_run_sequence_single_dispatch(sequence):
+    """Single-dispatch mode must produce the same trajectory quality as the
+    streaming loop (identical solves, chained on device)."""
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+    frames = [sequence.frame(i) for i in range(sequence.n_frames)]
+    pipe = OdometryPipeline(cfg, seed=1)
+    traj = pipe.run_sequence(frames, chunk=4)
+    assert traj.shape == (sequence.n_frames, 4, 4)
+    gt = sequence.gt_positions()
+    dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    ate = metrics.ate_rmse(traj[:, :3, 3], gt)
+    assert ate < 0.02 * dist, f"ATE {ate:.3f} m over {dist:.1f} m"

@@ -101,3 +101,30 @@ class TestViz:
         w, h, ang = viz.covariance_ellipse(np.diag([4.0, 1.0]))
         assert w > h
         assert abs(ang) < 1e-6 or abs(abs(ang) - 180) < 1e-6
+
+
+class TestVizExtra:
+    def test_plot_trajectory_3d(self, tmp_path):
+        t = np.cumsum(np.random.default_rng(2).normal(size=(15, 3)), axis=0)
+        viz.plot_trajectory_3d({"est": t}, path=str(tmp_path / "t3.png"))
+        assert (tmp_path / "t3.png").exists()
+
+    def test_plot_joint_distribution(self, tmp_path):
+        a = np.random.default_rng(0).uniform(0, 255, (16, 16))
+        viz.plot_joint_distribution(a, a, path=str(tmp_path / "jd.png"))
+        assert (tmp_path / "jd.png").exists()
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        from uasl_motion_estimation_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t("a"):
+            pass
+        with t("a"):
+            pass
+        with t("b"):
+            pass
+        rep = t.report()
+        assert "a" in rep and "x2" in rep

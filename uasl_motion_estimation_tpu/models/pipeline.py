@@ -107,6 +107,46 @@ def vo_sequence_step(
     return poses, out
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def vo_sequence_scan(
+    prev_left: jax.Array,
+    prev_right: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    keys: jax.Array,
+    cfg: PipelineConfig,
+    chunk: int = 8,
+) -> tuple[jax.Array, FrameOutput]:
+    """Whole sequence in ONE dispatch: `lax.map` over chunk groups, vmap
+    within a chunk.
+
+    Peak memory stays at `chunk` frames of front-end intermediates while the
+    host pays a single dispatch/transfer round-trip for the entire sequence
+    (B must be a multiple of chunk; pad with repeated frames if needed).
+    """
+    from ..parallel.segments import chain_motions
+
+    b = prev_left.shape[0]
+    assert b % chunk == 0, f"pad batch {b} to a multiple of chunk {chunk}"
+    g = b // chunk
+
+    def one_chunk(args):
+        pl_, pr_, cl_, cr_, ks = args
+        return jax.vmap(lambda a, b_, c, d, k: vo_step(a, b_, c, d, k, cfg))(
+            pl_, pr_, cl_, cr_, ks
+        )
+
+    grouped = tuple(
+        x.reshape((g, chunk) + x.shape[1:])
+        for x in (prev_left, prev_right, cur_left, cur_right, keys)
+    )
+    out = jax.lax.map(one_chunk, grouped)
+    out = jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)
+    eye = jnp.eye(4, dtype=out.motion.dtype)
+    motion = jnp.where(out.success[:, None, None], out.motion, eye)
+    return chain_motions(motion), out
+
+
 class OdometryPipeline:
     """Host-side frame loop with the reference's degraded-frame contract:
     a failed frame keeps the last pose and is skipped (SURVEY.md section 5,
@@ -159,6 +199,46 @@ class OdometryPipeline:
         """Process a whole sequence; returns (N, 4, 4) cam-to-world poses."""
         for left, right in frames:
             self.process_pair(left, right)
+        return np.asarray(self.trajectory)
+
+    def run_sequence(
+        self,
+        frames: list[tuple[np.ndarray, np.ndarray]],
+        chunk: int = 8,
+    ) -> np.ndarray:
+        """Whole-sequence single-dispatch mode (fastest; see
+        vo_sequence_scan). Returns (N, 4, 4) cam-to-world poses."""
+        n = len(frames)
+        b = n - 1
+        g = -(-b // chunk)  # ceil
+        pad = g * chunk - b
+        idx_prev = np.clip(np.arange(g * chunk), 0, b - 1)
+        idx_cur = idx_prev + 1
+        ls = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
+        rs = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, g * chunk)
+        poses, out = vo_sequence_scan(
+            ls[idx_prev], rs[idx_prev], ls[idx_cur], rs[idx_cur], keys,
+            self.cfg, chunk,
+        )
+        del pad
+        poses = np.asarray(poses[:b], np.float64)
+        base = self.pose.copy()
+        for i in range(b):
+            self.trajectory.append(base @ poses[i])
+        self.pose = base @ poses[b - 1]
+        self.frame_idx += n
+        if self.logger is not None:
+            host = jax.device_get(out)
+            for i in range(b):
+                self.logger.log(
+                    frame=i + 1,
+                    success=bool(host.success[i]),
+                    n_matches=int(host.n_matches[i]),
+                    n_inliers=int(host.n_inliers[i]),
+                    mean_reproj_error=float(host.mean_reproj_error[i]),
+                )
         return np.asarray(self.trajectory)
 
     def run_batched(

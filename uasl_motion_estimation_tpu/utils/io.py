@@ -362,3 +362,77 @@ class GTReader(CsvFile):
         for row in self.rows():
             out.append([row.get("x", 0.0), row.get("y", 0.0), row.get("z", 0.0)])
         return np.asarray(out)
+
+
+# phase-congruency plane suffixes (loadPCImage[s], file_IO.cpp:366-398)
+PC_PLANES = ("M", "m", "PC", "ft")
+
+
+def load_pc_image(directory: str, cam: int, idx: int, padding: int = 5
+                  ) -> np.ndarray:
+    """Load a 4-plane phase-congruency image as (4, H, W) float32 in [0, 1]
+    (loadPCImage, file_IO.cpp:386-398): planes M, m, PC, ft."""
+    import cv2
+
+    planes = []
+    for suffix in PC_PLANES:
+        path = os.path.join(
+            directory, f"cam{cam}_image{idx:0{padding}d}_{suffix}.png"
+        )
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        planes.append(img.astype(np.float32) / 255.0)
+    return np.stack(planes)
+
+
+def load_pc_images(directory: str, idx: int, padding: int = 5
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Stereo pair of 4-plane PC images, each (4, H, W)
+    (loadPCImages, file_IO.cpp:366-384)."""
+    return (load_pc_image(directory, 0, idx, padding),
+            load_pc_image(directory, 1, idx, padding))
+
+
+class RunController:
+    """Headless pause/resume/quit control — the reference's keyboard
+    IOSigHandler ('p' pause, 'r' resume, 'q' quit; file_IO.h:159-182)
+    re-imagined for jobs without a window: a control FILE is polled between
+    frames; writing "pause"/"resume"/"quit" into it drives the session, and
+    SIGINT requests a clean quit."""
+
+    def __init__(self, control_file: str | None = None, poll_s: float = 0.25):
+        import signal
+
+        self.control_file = control_file
+        self.poll_s = poll_s
+        self.quit_requested = False
+        try:
+            signal.signal(signal.SIGINT, self._on_sigint)
+        except ValueError:
+            pass  # not the main thread; file control still works
+
+    def _on_sigint(self, *_):
+        self.quit_requested = True
+
+    def _read_command(self) -> str:
+        if not self.control_file or not os.path.exists(self.control_file):
+            return ""
+        with open(self.control_file) as fh:
+            return fh.read().strip().lower()
+
+    def checkpoint(self) -> bool:
+        """Call between frames. Blocks while paused; returns False when the
+        session should stop."""
+        import time
+
+        while True:
+            if self.quit_requested:
+                return False
+            cmd = self._read_command()
+            if cmd == "quit":
+                return False
+            if cmd == "pause":
+                time.sleep(self.poll_s)
+                continue
+            return True

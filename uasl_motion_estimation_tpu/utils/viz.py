@@ -133,6 +133,56 @@ def draw_stereo_reprojection(
     return fig
 
 
+def plot_trajectory_3d(
+    trajectories: dict[str, np.ndarray],
+    path: str | None = None,
+    title: str = "trajectory (3D)",
+):
+    """3D trajectory view — the headless stand-in for the reference's
+    cv::viz Graph3D camera-path scene (Graph3D.h:27-93)."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(8, 7))
+    ax = fig.add_subplot(projection="3d")
+    for name, arr in trajectories.items():
+        pos = arr[:, :3, 3] if arr.ndim == 3 else arr
+        ax.plot(pos[:, 0], pos[:, 2], -pos[:, 1], label=name)
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("z [m]")
+    ax.set_zlabel("-y (up) [m]")
+    ax.legend()
+    ax.set_title(title)
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_joint_distribution(
+    patch_a: np.ndarray,
+    patch_b: np.ndarray,
+    bins: int = 20,
+    path: str | None = None,
+):
+    """Joint intensity histogram image of two patches — the debug
+    visualization of the MI core (jointDistribution,
+    mutual_information.cpp:88-134)."""
+    plt = _mpl()
+    qa = np.clip((np.asarray(patch_a).ravel() * bins / 256.0).astype(int),
+                 0, bins - 1)
+    qb = np.clip((np.asarray(patch_b).ravel() * bins / 256.0).astype(int),
+                 0, bins - 1)
+    hist = np.zeros((bins, bins))
+    np.add.at(hist, (qa, qb), 1.0)
+    hist /= max(hist.sum(), 1.0)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    im = ax.imshow(hist, cmap="viridis", origin="lower")
+    fig.colorbar(im, ax=ax, shrink=0.8, label="p(a, b)")
+    ax.set_xlabel("intensity bin (b)")
+    ax.set_ylabel("intensity bin (a)")
+    if path:
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+    return fig
+
+
 def covariance_ellipse(cov2: np.ndarray, n_std: float = 2.4477
                        ) -> tuple[float, float, float]:
     """(width, height, angle_deg) of the 95% confidence ellipse of a 2x2
