@@ -149,3 +149,29 @@ def test_jit_and_vmap_compatible():
     rpy = random_rpy(16)
     jit_fn = jax.jit(lambda e: lie.R_to_euler(lie.euler_to_R(e)))
     np.testing.assert_allclose(jit_fn(rpy), rpy, atol=1e-5)
+
+
+class TestFrameConversion:
+    def test_roundtrip(self):
+        v = jnp.asarray([1.0, 2.0, 3.0])
+        np.testing.assert_allclose(
+            np.asarray(lie.opencv_to_xyz(lie.xyz_to_opencv(v))),
+            np.asarray(v), atol=1e-6,
+        )
+
+    def test_tref_axes(self):
+        # XYZ forward (x) becomes OpenCV forward (z)
+        fwd = np.asarray(lie.xyz_to_opencv(jnp.asarray([1.0, 0.0, 0.0])))
+        np.testing.assert_allclose(fwd, [0.0, 0.0, 1.0], atol=1e-12)
+        # XYZ up (z) becomes OpenCV -y (down axis negated)
+        up = np.asarray(lie.xyz_to_opencv(jnp.asarray([0.0, 0.0, 1.0])))
+        np.testing.assert_allclose(up, [0.0, -1.0, 0.0], atol=1e-12)
+
+    def test_quat_conversion_matches_matrix(self):
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=3), jnp.float32)
+        q = lie.quat_exp(v)
+        R = lie.quat_to_R(q)
+        q2 = lie.quat_xyz_to_opencv(q)
+        R2 = np.asarray(lie.quat_to_R(lie.quat_normalize(q2)))
+        np.testing.assert_allclose(R2, lie.TREF @ np.asarray(R), atol=1e-5)

@@ -91,3 +91,37 @@ class TestMonoVO:
         scaled = pts * 2.5
         s = geo.relative_scale(jnp.asarray(scaled), jnp.asarray(pts))
         np.testing.assert_allclose(float(s), 2.5, rtol=1e-5)
+
+
+class TestMonoPipeline:
+    def test_trajectory_shape_recovery(self):
+        """Mono pipeline on the synthetic world: up-to-scale trajectory must
+        align to GT with a similarity transform (mono gauge)."""
+        from uasl_motion_estimation_tpu.models.mono_pipeline import (
+            MonoOdometryPipeline,
+            MonoPipelineConfig,
+        )
+        from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+        from uasl_motion_estimation_tpu.utils.synthetic import (
+            CameraRig,
+            SyntheticStereoSequence,
+        )
+
+        rig = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                        height=192, width=320)
+        seq = SyntheticStereoSequence(n_frames=10, rig=rig, seed=4)
+        frames = [seq.frame(i)[0] for i in range(10)]  # left only
+        cfg = MonoPipelineConfig(
+            vo=MonoVOParams(
+                intr=geo.Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv),
+                inlier_threshold=1.5,
+            ),
+            max_features=256,
+        )
+        pipe = MonoOdometryPipeline(cfg, seed=0)
+        traj = pipe.run(frames)
+        assert traj.shape == (10, 4, 4)
+        gt = seq.gt_positions()
+        dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+        ate = ate_rmse(traj[:, :3, 3], gt, with_scale=True)
+        assert ate < 0.05 * dist, f"similarity-ATE {ate:.3f} over {dist:.1f} m"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
 
@@ -302,3 +303,37 @@ def so3_right_jacobian(v: jax.Array) -> jax.Array:
     K = skew(v)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=v.dtype), K.shape)
     return eye - A[..., None, None] * K + B[..., None, None] * (K @ K)
+
+
+# ---------------------------------------------------------------------------
+# Reference-frame conversion (rotation_utils.h:19, rotation_utils.cpp:321-354)
+# ---------------------------------------------------------------------------
+
+# TRef maps the XYZ (x fwd, y left, z up) convention to the OpenCV camera
+# convention (x right, y down, z fwd): rows (0,-1,0),(0,0,-1),(1,0,0)
+TREF = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
+
+
+def xyz_to_opencv(v: jax.Array) -> jax.Array:
+    """Rotate a 3-vector (or rpy triple) from XYZ to OpenCV axes
+    (convertToOpenCV, rotation_utils.cpp:321-326, 347-350)."""
+    return v @ jnp.asarray(TREF, v.dtype).T
+
+
+def opencv_to_xyz(v: jax.Array) -> jax.Array:
+    """Inverse of xyz_to_opencv (convertToXYZ, rotation_utils.cpp:329-333)."""
+    return v @ jnp.asarray(TREF, v.dtype)
+
+
+def quat_xyz_to_opencv(q: jax.Array) -> jax.Array:
+    """Quaternion frame change q -> q_TRef * q (convertToOpenCV for Quat,
+    rotation_utils.cpp:336-340)."""
+    q_ref = R_to_quat(jnp.asarray(TREF, q.dtype))
+    return quat_mul(q_ref, q)
+
+
+def quat_opencv_to_xyz(q: jax.Array) -> jax.Array:
+    """Inverse quaternion frame change (convertToXYZ for Quat,
+    rotation_utils.cpp:342-345: q * conj(0.5,-0.5,0.5,-0.5))."""
+    q_ref = R_to_quat(jnp.asarray(TREF, q.dtype))
+    return quat_mul(quat_conj(q_ref), q)
