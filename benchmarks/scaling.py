@@ -1,0 +1,101 @@
+"""Scaling-efficiency benchmark: segment-sharded sequence VO over a mesh.
+
+BASELINE config 5 harness. On real multi-chip hardware this measures
+frames/s at 1, 2, 4, ... devices; without a pod it runs on the simulated
+CPU mesh (xla_force_host_platform_device_count), which validates the
+sharded program and measures parallel overheads, not real ICI scaling.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python benchmarks/scaling.py
+Prints one JSON line per mesh size plus a scaling-efficiency summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_PAIRS = int(os.environ.get("SCALING_PAIRS", "16"))
+FRAME_H = int(os.environ.get("SCALING_H", "96"))
+FRAME_W = int(os.environ.get("SCALING_W", "160"))
+
+
+def main():
+    # force the CPU mesh when requested BEFORE backend init: the ambient
+    # axon/TPU plugin prepends itself to jax_platforms, so the env var alone
+    # is not enough (same workaround as tests/conftest.py)
+    import jax
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uasl_motion_estimation_tpu import parallel
+    from uasl_motion_estimation_tpu.models.frontend import MatcherConfig
+    from uasl_motion_estimation_tpu.models.pipeline import default_config
+    from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        SyntheticStereoSequence,
+    )
+
+    rig = CameraRig(fu=200.0, fv=200.0, cu=FRAME_W / 2, cv=FRAME_H / 2,
+                    baseline=0.5, height=FRAME_H, width=FRAME_W)
+    seq = SyntheticStereoSequence(n_frames=N_PAIRS + 1, rig=rig, seed=6)
+    frames = [seq.frame(i) for i in range(N_PAIRS + 1)]
+    ls = jnp.asarray(np.stack([f[0] for f in frames]), jnp.float32)
+    rs = jnp.asarray(np.stack([f[1] for f in frames]), jnp.float32)
+    cfg = default_config(
+        Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline
+    )._replace(max_features=192, matcher=MatcherConfig(max_disparity=64))
+    keys = jax.random.split(jax.random.key(0), N_PAIRS)
+
+    n_dev = jax.device_count()
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_dev and N_PAIRS % n == 0]
+    results = {}
+    for n in sizes:
+        mesh = parallel.make_mesh(n)
+        args = (
+            parallel.shard_frames(ls[:-1], mesh),
+            parallel.shard_frames(rs[:-1], mesh),
+            parallel.shard_frames(ls[1:], mesh),
+            parallel.shard_frames(rs[1:], mesh),
+            keys,
+        )
+        poses, success, _ = parallel.sharded_sequence_vo(*args, cfg, mesh)
+        jax.block_until_ready(poses)  # compile + warm
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            poses, success, _ = parallel.sharded_sequence_vo(*args, cfg, mesh)
+        jax.block_until_ready(poses)
+        dt = (time.perf_counter() - t0) / reps
+        fps = N_PAIRS / dt
+        results[n] = fps
+        print(json.dumps({
+            "metric": "sharded sequence VO frames/s",
+            "devices": n,
+            "value": round(fps, 2),
+            "ok_frames": int(jnp.sum(success)),
+        }), flush=True)
+
+    if len(results) > 1:
+        base = results[sizes[0]]
+        for n in sizes[1:]:
+            eff = results[n] / (base * n / sizes[0])
+            print(json.dumps({
+                "metric": "scaling efficiency",
+                "devices": n,
+                "value": round(eff, 3),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ class MatcherConfig(NamedTuple):
     min_score: float = 0.6  # ZNCC acceptance threshold
     mi_bins: int = 20
     mi_min_score: float = 0.4  # MI acceptance (bits)
+    refine_iters: int = 2  # 1-D photometric subpixel refinement steps
 
 
 class KLTConfig(NamedTuple):
@@ -125,6 +126,25 @@ def match_stereo(
     feats_right = jnp.stack(
         [feats_left[:, 0] - disparity, feats_left[:, 1]], axis=-1
     )
+
+    if cfg.refine_iters > 0 and not use_mi:
+        # 1-D photometric Lucas-Kanade along the epipolar line: polishes the
+        # integer-grid cost-volume pick to true subpixel alignment. Intensity
+        # consistency does not hold cross-modally, so the MI path skips it.
+        tpl = im.extract_patches(img_left, feats_left, r)
+        gx_img, _ = im.scharr(img_right)
+
+        def refine(_, fr):
+            p = im.extract_patches(img_right, fr, r)
+            g = im.extract_patches(gx_img, fr, r)
+            err = p - tpl
+            denom = jnp.sum(g * g, axis=(-2, -1))
+            step = -jnp.sum(err * g, axis=(-2, -1)) / jnp.maximum(denom, 1e-6)
+            step = jnp.clip(step, -1.0, 1.0)
+            return fr.at[:, 0].add(step)
+
+        feats_right = jax.lax.fori_loop(0, cfg.refine_iters, refine, feats_right)
+        disparity = feats_left[:, 0] - feats_right[:, 0]
 
     valid = (
         valid_left
