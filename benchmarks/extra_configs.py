@@ -1,0 +1,159 @@
+"""Secondary benchmark configs (BASELINE.json configs 2-4).
+
+Each prints one JSON line. Shapes are representative but sized so a single
+tunnel-compiled run stays manageable:
+
+  2. KLT pyramid tracking + pose-only estimation, EuRoC-like 752x480 frames
+  3. mutual-information cross-modal stereo matching (Pallas kernel on TPU)
+  4. sliding-window BA throughput (10-frame windows, batched across windows)
+
+Run: python benchmarks/extra_configs.py [2|3|4|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def bench_klt_pose():
+    """Config 2: KLT front-end + pose-only solve on EuRoC-like frames."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uasl_motion_estimation_tpu.models.frontend import MatcherConfig
+    from uasl_motion_estimation_tpu.models.pipeline import (
+        OdometryPipeline,
+        default_config,
+    )
+    from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
+    from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        SyntheticStereoSequence,
+    )
+
+    # EuRoC MAV rig scale: 752x480, ~460 px focal, 11 cm baseline
+    rig = CameraRig(fu=458.65, fv=457.3, cu=367.2, cv=248.4, baseline=0.11,
+                    height=480, width=752)
+    n = int(os.environ.get("BENCH_FRAMES", "17"))
+    seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=1)
+    frames = [seq.frame(i) for i in range(n)]
+    cfg = default_config(
+        Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline
+    )._replace(matcher=MatcherConfig(max_disparity=64))
+    warm = OdometryPipeline(cfg, seed=0)
+    warm.run_batched(frames, chunk=8)
+    pipe = OdometryPipeline(cfg, seed=0)
+    t0 = time.perf_counter()
+    traj = pipe.run_batched(frames, chunk=8)
+    fps = (n - 1) / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "KLT+pose-only frames/s (EuRoC-like 752x480)",
+        "value": round(fps, 2), "unit": "frames/s",
+        "ate_m": round(float(ate_rmse(traj[:, :3, 3], seq.gt_positions())), 4),
+    }))
+
+
+def bench_mi_matcher():
+    """Config 3: MI cross-modal stereo matching throughput."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uasl_motion_estimation_tpu.models import frontend as fe
+    from uasl_motion_estimation_tpu.ops import image as im
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        SyntheticStereoSequence,
+    )
+
+    rig = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                    height=192, width=320)
+    seq = SyntheticStereoSequence(n_frames=1, rig=rig, seed=2)
+    left, right = seq.frame(0)
+    left = jnp.asarray(left, jnp.float32)
+    # cross-modal: intensity-inverted right image
+    right = jnp.asarray(255.0 - right, jnp.float32)
+    feats, _, v0 = im.detect_features(left, max_features=256)
+    cfg = fe.MatcherConfig(max_disparity=64)
+
+    fr, sc, v = fe.match_stereo(left, right, feats, v0, cfg, use_mi=True)
+    jax.block_until_ready(fr)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        fr, sc, v = fe.match_stereo(left, right, feats, v0, cfg, use_mi=True)
+    jax.block_until_ready(fr)
+    dt = (time.perf_counter() - t0) / reps
+    n_scored = 256 * 64
+    print(json.dumps({
+        "metric": "MI cross-modal matcher pairs/s (256 feats x 64 disp)",
+        "value": round(n_scored / dt, 0), "unit": "patch-pairs/s",
+        "valid_matches": int(jnp.sum(v)),
+    }))
+
+
+def bench_ba_windows():
+    """Config 4: windowed-BA throughput, batched across windows."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_ba import INTR, BASELINE, make_window, perturb
+
+    from uasl_motion_estimation_tpu.solvers.ba import (
+        BAConfig, BAProblem, ba_solve,
+    )
+
+    n_windows = int(os.environ.get("BENCH_BA_WINDOWS", "16"))
+    problems = []
+    for s in range(n_windows):
+        cams, pts, obs, mask = make_window(n_frames=10, n_pts=256, noise=0.3,
+                                           seed=s)
+        cams_p, pts_p = perturb(cams, pts, seed=s + 100)
+        problems.append(BAProblem(jnp.asarray(cams_p), jnp.asarray(pts_p),
+                                  jnp.asarray(obs), jnp.asarray(mask)))
+    batch = jax.tree.map(lambda *x: jnp.stack(x), *problems)
+    cfg = BAConfig(intr=INTR, baseline=BASELINE)
+
+    solve = jax.jit(jax.vmap(lambda p: ba_solve(p, cfg)))
+    res = solve(batch)
+    jax.block_until_ready(res.cam)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        res = solve(batch)
+    jax.block_until_ready(res.cam)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "windowed BA solves/s (10 frames x 256 pts, batched)",
+        "value": round(n_windows / dt, 2), "unit": "windows/s",
+        "mean_cost": round(float(jnp.mean(res.cost)), 4),
+    }))
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("2", "all"):
+        bench_klt_pose()
+    if which in ("3", "all"):
+        bench_mi_matcher()
+    if which in ("4", "all"):
+        bench_ba_windows()
