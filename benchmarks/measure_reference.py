@@ -25,7 +25,14 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-CACHE = REPO / "benchmarks" / "reference_cpu.json"
+# default: the REPAIRED reference (see build.sh — the as-shipped binary has a
+# broken optimisation-loop exit that spins for tens of minutes per frame;
+# beating a spin loop is not a meaningful speedup, so the fair baseline fixes
+# it). Pass --as-shipped to measure the library exactly as published.
+AS_SHIPPED = "--as-shipped" in sys.argv
+CACHE = REPO / "benchmarks" / (
+    "reference_cpu_as_shipped.json" if AS_SHIPPED else "reference_cpu.json"
+)
 
 
 def main():
@@ -40,11 +47,15 @@ def main():
     rig = CameraRig()
     seq = SyntheticStereoSequence(n_frames=N_FRAMES, rig=rig, seed=0)
 
-    bin_path = REPO / "benchmarks" / "reference_baseline" / "ref_vo"
+    name = "ref_vo" if AS_SHIPPED else "ref_vo_repaired"
+    bin_path = REPO / "benchmarks" / "reference_baseline" / name
     if not bin_path.exists():
+        import os
+
+        env = dict(os.environ, REPAIRED="0" if AS_SHIPPED else "1")
         subprocess.run(
             [str(REPO / "benchmarks" / "reference_baseline" / "build.sh")],
-            check=True, capture_output=True, timeout=300,
+            check=True, capture_output=True, timeout=300, env=env,
         )
 
     with tempfile.TemporaryDirectory() as td:
@@ -58,17 +69,27 @@ def main():
             capture_output=True, text=True, timeout=3600 * 4, check=True,
         )
     summary = json.loads(out.stderr.strip().splitlines()[-1])
-    poses = np.array(
-        [[float(v) for v in line.split()]
-         for line in out.stdout.splitlines() if line.strip()]
-    ).reshape(-1, 3, 4)
+    rows = []
+    for line in out.stdout.splitlines():
+        parts = line.split()
+        if len(parts) != 12:
+            continue  # skip the library's "[Motion Estimation] ..." chatter
+        try:
+            rows.append([float(v) for v in parts])
+        except ValueError:
+            continue
+    poses = np.array(rows).reshape(-1, 3, 4)
     ate = float(ate_rmse(poses[:, :3, 3], seq.gt_positions()))
     rec = {
         "fps": summary["fps"],
         "ate": ate,
         "ok_frames": summary["ok_frames"],
         "n_frames": N_FRAMES,
-        "config": "reference defaults: GN, n_ransac=200, max_iter=100",
+        "config": (
+            "reference defaults: GN, n_ransac=200, max_iter=100"
+            + ("" if AS_SHIPPED else
+               "; optimisation-loop exit repaired (see build.sh)")
+        ),
         "hardware": "container CPU (single thread, -O3 -march=native)",
     }
     CACHE.write_text(json.dumps(rec, indent=1))
