@@ -216,3 +216,75 @@ class TestPcAndControl:
         ctl.write_text("resume")
         th.join(timeout=2.0)
         assert result.get("ok") is True
+
+
+class TestVideoReader:
+    """VideoSequenceReader — the reference ImageReader's VIDEO mode
+    (file_IO.h:300-421)."""
+
+    @staticmethod
+    def _write_videos(tmp_path, n_frames=8, stereo=True, h=32, w=48):
+        fourcc = cv2.VideoWriter_fourcc(*"MJPG")
+        cams = range(2 if stereo else 1)
+        for cam in cams:
+            path = str(tmp_path / f"cam{cam}_image.avi")
+            vw = cv2.VideoWriter(path, fourcc, 10.0, (w, h), isColor=True)
+            if not vw.isOpened():
+                pytest.skip("no video codec available in this cv2 build")
+            for i in range(n_frames):
+                frame = np.full((h, w, 3), 10 * i + cam, np.uint8)
+                vw.write(frame)
+            vw.release()
+
+    def test_stereo_frames_and_skip(self, tmp_path):
+        self._write_videos(tmp_path, n_frames=8)
+        rd = uio.VideoSequenceReader(
+            str(tmp_path), uio.FrameConfig(start=0, stop=-1, skip=2)
+        )
+        left, right = rd.read_frame()  # frame index 2
+        assert left.shape == (32, 48) and left.dtype == np.float32
+        # MJPG is lossy; the constant-value frame should still be close
+        assert abs(float(left.mean()) - 20.0) < 4.0
+        assert abs(float(right.mean()) - 21.0) < 4.0
+        left2, _ = rd.read_frame()  # frame index 4
+        assert abs(float(left2.mean()) - 40.0) < 4.0
+        rd.close()
+
+    def test_iteration_stops_at_stream_end(self, tmp_path):
+        self._write_videos(tmp_path, n_frames=5, stereo=False)
+        rd = uio.VideoSequenceReader(
+            str(tmp_path), uio.FrameConfig(skip=1), stereo=False
+        )
+        frames = list(rd)
+        assert 3 <= len(frames) <= 5
+        assert all(f.ndim == 2 for f in frames)
+        rd.close()
+
+    def test_stamp_file_sync(self, tmp_path):
+        self._write_videos(tmp_path, n_frames=6, stereo=False)
+        stamp = tmp_path / "image_data.csv"
+        stamp.write_text(
+            "#number,timestamp\n" +
+            "".join(f"{i},{1000 + 10 * i}\n" for i in range(6))
+        )
+        rd = uio.VideoSequenceReader(
+            str(tmp_path), uio.FrameConfig(skip=2), stereo=False,
+            stamp_file=str(stamp),
+        )
+        rd.read_frame()
+        # skip=2 consumes two stamp rows; the file's numbering is the truth
+        # (ImageFile::readData advances one row per call, file_IO.h:355-360)
+        assert rd.img_nb == 1 and rd.img_stamp == 1010
+        assert rd.is_valid()
+        rd.close()
+
+
+class TestImageStampFile:
+    def test_read_next(self, tmp_path):
+        p = tmp_path / "image_data.csv"
+        p.write_text("#number,timestamp\n0,100\n1,110\n2,120\n")
+        f = uio.ImageStampFile(str(p))
+        assert f.read_next() == (0, 100)
+        assert f.read_next() == (1, 110)
+        assert f.read_next() == (2, 120)
+        assert f.read_next() is None

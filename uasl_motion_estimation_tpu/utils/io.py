@@ -353,6 +353,101 @@ class ImageSequenceReader:
             idx += self.frames.skip
 
 
+class ImageStampFile(CsvFile):
+    """``image_data.csv`` (frame number, timestamp) reader — the reference's
+    ``ImageFile`` (file_IO.h:252-263): each ``read_next`` advances one row and
+    returns (img_nb, stamp) so frames can be time-synced with IMU/GPS."""
+
+    def __init__(self, path: str):
+        super().__init__(path)
+        self._iter = self.rows()
+
+    def read_next(self) -> tuple[int, int] | None:
+        for row in self._iter:
+            vals = list(row.values())
+            if len(vals) < 2:
+                continue
+            return int(vals[0]), int(vals[1])
+        return None
+
+
+class VideoSequenceReader:
+    """Stereo/mono reader over per-camera video streams
+    ``cam{N}_image.avi`` — the reference ImageReader's VIDEO mode
+    (file_IO.h:300-421: opens one cv::VideoCapture per camera, grabs frames
+    up to the current frame number honoring skip, converts BGR->gray).
+
+    Optionally consumes an ``image_data.csv`` stamp file so ``read_frame``
+    tracks timestamps exactly like the reference (readStereo,
+    file_IO.h:351-387)."""
+
+    def __init__(self, directory: str, frames: FrameConfig = FrameConfig(),
+                 stereo: bool = True, stamp_file: str | None = None):
+        import cv2
+
+        self.dir = directory
+        self.frames = frames
+        self.stereo = stereo
+        n_cams = 2 if stereo else 1
+        self.caps = [
+            cv2.VideoCapture(os.path.join(directory, f"cam{i}_image.avi"))
+            for i in range(n_cams)
+        ]
+        self.img_nb = 0
+        self.img_stamp = 0
+        self._stamps: ImageStampFile | None = None
+        if stamp_file:
+            self._stamps = ImageStampFile(stamp_file)
+        # seek to the first frame (ImageReader ctor loop, file_IO.h:319-322)
+        while self.img_nb < frames.start:
+            self._advance(1)
+
+    def is_valid(self) -> bool:
+        return self.img_nb > 0 or any(c.isOpened() for c in self.caps)
+
+    def _advance(self, skip: int):
+        if self._stamps is not None:
+            for _ in range(skip):
+                nxt = self._stamps.read_next()
+                if nxt is None:
+                    raise StopIteration
+                self.img_nb, self.img_stamp = nxt
+        else:
+            self.img_nb += skip
+
+    def read_frame(self):
+        """Grab the next frame pair (or mono frame) honoring skip; returns
+        float32 grayscale array(s), or raises StopIteration at stream end."""
+        import cv2
+
+        self._advance(self.frames.skip)
+        out = []
+        for cap in self.caps:
+            if not cap.isOpened():
+                raise StopIteration
+            while cap.get(cv2.CAP_PROP_POS_FRAMES) < self.img_nb:
+                if not cap.grab():
+                    raise StopIteration
+            ok, img = cap.read()
+            if not ok:
+                raise StopIteration
+            if img.ndim == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            out.append(img.astype(np.float32))
+        return tuple(out) if self.stereo else out[0]
+
+    def __iter__(self):
+        while self.frames.stop < 0 or self.img_nb < self.frames.stop:
+            try:
+                yield self.read_frame()
+            except StopIteration:
+                return
+
+    def close(self):
+        for cap in self.caps:
+            cap.release()
+
+
 class GTReader(CsvFile):
     """Ground-truth pose CSV reader (GTReader, file_IO.h:424-463): columns
     x, y, z [, q_w, q_x, q_y, q_z] indexed by timestamp/frame."""
