@@ -44,6 +44,7 @@ class KLTConfig(NamedTuple):
     min_eig_threshold: float = 1e-4
     max_residual: float = 12.0  # mean abs intensity error acceptance
     max_displacement: float = 400.0
+    tile_margin: int = 5  # px of local search room per level (tile gather)
 
 
 def _normalized_patch_vectors(patches: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -131,12 +132,12 @@ def match_stereo(
         # 1-D photometric Lucas-Kanade along the epipolar line: polishes the
         # integer-grid cost-volume pick to true subpixel alignment. Intensity
         # consistency does not hold cross-modally, so the MI path skips it.
-        tpl = im.extract_patches(img_left, feats_left, r)
+        tpl = im.extract_patches_sep(img_left, feats_left, r)
         gx_img, _ = im.scharr(img_right)
 
         def refine(_, fr):
-            p = im.extract_patches(img_right, fr, r)
-            g = im.extract_patches(gx_img, fr, r)
+            p = im.extract_patches_sep(img_right, fr, r)
+            g = im.extract_patches_sep(gx_img, fr, r)
             err = p - tpl
             denom = jnp.sum(g * g, axis=(-2, -1))
             step = -jnp.sum(err * g, axis=(-2, -1)) / jnp.maximum(denom, 1e-6)
@@ -176,9 +177,28 @@ def klt_track(
     New scope (BASELINE config 2). Coarse-to-fine over a Gaussian pyramid;
     at each level every feature runs ``iters`` fixed iterations of the 2x2
     LK solve with masked updates (no data-dependent control flow).
+
+    Memory-system design (measured on TPU v5e): per level, each feature
+    gathers ONE local tile of the next image around its incoming guess; the
+    inner iterations then resample the window from that tile with separable
+    bilinear matmuls (ops/image.py sample_tiles) instead of issuing 4 gather
+    taps per pixel per iteration — the global-gather formulation spent
+    200 ms/frame purely in gathers. Iterations that would leave the tile
+    clamp to its border; the final global residual check rejects any track
+    that actually needed to travel further (the coarse levels absorb large
+    motion, so margin px per level covers the Lucas-Kanade basin anyway).
     """
     h, w = img_prev.shape
     r = cfg.window_radius
+    k = 2 * r + 1
+    margin = cfg.tile_margin
+    tile_size = k + 2 * margin + 1
+
+    from ..ops.pallas.gather import pallas_gather_supported
+    from ..ops.pallas.klt import klt_level
+
+    use_fused = pallas_gather_supported()
+    npix = (2 * r + 1) ** 2
 
     pyr_prev = im.build_pyramid(img_prev, cfg.n_levels)
     pyr_next = im.build_pyramid(img_next, cfg.n_levels)
@@ -193,11 +213,19 @@ def klt_track(
         scale = 2.0**level
         p_prev = pts_prev / scale
         ip, inx = pyr_prev[level], pyr_next[level]
+
+        if use_fused:
+            # whole level in one Pallas kernel (ops/pallas/klt.py)
+            d, min_eig = klt_level(ip, inx, p_prev, d, r, cfg.iters, margin)
+            eig_ok = eig_ok & (min_eig / npix > cfg.min_eig_threshold)
+            if level > 0:
+                d = d * 2.0
+            continue
         gx, gy = im.scharr(ip)
 
-        tpl = im.extract_patches(ip, p_prev, r)  # (N, k, k)
-        gxp = im.extract_patches(gx, p_prev, r)
-        gyp = im.extract_patches(gy, p_prev, r)
+        tpl = im.extract_patches_sep(ip, p_prev, r)  # (N, k, k)
+        gxp = im.extract_patches_sep(gx, p_prev, r)
+        gyp = im.extract_patches_sep(gy, p_prev, r)
 
         # 2x2 structure tensor per feature (constant across iterations)
         a11 = jnp.sum(gxp * gxp, axis=(-2, -1))
@@ -210,9 +238,17 @@ def klt_track(
         eig_ok = eig_ok & (min_eig / npix > cfg.min_eig_threshold)
         inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
 
-        def step(_, dcur):
-            cur = p_prev + dcur
-            patch = im.extract_patches(inx, cur, r)
+        # one tile gather per feature around the incoming guess
+        anchor = jnp.floor(p_prev + d).astype(jnp.int32) - (r + margin)
+        tiles = im.extract_tiles(inx, anchor, tile_size)
+        anchor_f = anchor.astype(d.dtype)
+
+        def step(_, dcur, *, tiles=tiles, anchor_f=anchor_f, p_prev=p_prev,
+                 tpl=tpl, gxp=gxp, gyp=gyp, a11=a11, a12=a12, a22=a22,
+                 inv_det=inv_det):
+            # patch top-left in tile coordinates
+            off = p_prev + dcur - anchor_f - r
+            patch = im.sample_tiles(tiles, off, k)
             err = patch - tpl
             b1 = jnp.sum(err * gxp, axis=(-2, -1))
             b2 = jnp.sum(err * gyp, axis=(-2, -1))
@@ -220,7 +256,11 @@ def klt_track(
             dy = -(a11 * b2 - a12 * b1) * inv_det
             upd = jnp.stack([dx, dy], axis=-1)
             ok = jnp.isfinite(upd).all(axis=-1, keepdims=True)
-            return dcur + jnp.where(ok, upd, 0.0)
+            dnew = dcur + jnp.where(ok, upd, 0.0)
+            # stay within the gathered tile (clamp in displacement space)
+            lo = anchor_f + r - p_prev  # off = 0
+            hi = lo + (tile_size - k - 1)
+            return jnp.clip(dnew, lo, hi)
 
         d = jax.lax.fori_loop(0, cfg.iters, step, d)
         if level > 0:
@@ -228,8 +268,8 @@ def klt_track(
 
     pts_next = pts_prev + d
 
-    final_patch = im.extract_patches(img_next, pts_next, r)
-    tpl0 = im.extract_patches(img_prev, pts_prev, r)
+    final_patch = im.extract_patches_sep(img_next, pts_next, r)
+    tpl0 = im.extract_patches_sep(img_prev, pts_prev, r)
     residual = jnp.mean(jnp.abs(final_patch - tpl0), axis=(-2, -1))
 
     valid = (

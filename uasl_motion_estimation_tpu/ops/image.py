@@ -223,6 +223,80 @@ def extract_patches(img: jax.Array, centers: jax.Array, radius: int) -> jax.Arra
     return bilinear_sample(img, pts)
 
 
+def extract_tiles(img: jax.Array, anchors: jax.Array, size: int,
+                  size_w: int | None = None) -> jax.Array:
+    """Integer (size x size_w) tiles with top-left corners ``anchors`` (N, 2)
+    int32 [x, y]; out-of-bounds reads come from edge padding.
+
+    ONE block copy per feature — the building block that keeps patch work off
+    the slow random-access path (one tile per feature, then all sub-pixel
+    sampling happens inside the tile as matmuls; see sample_tiles). On TPU
+    this is the Pallas DMA kernel (ops/pallas/gather.py); elsewhere an XLA
+    gather."""
+    from .pallas.gather import gather_rects, pallas_gather_supported
+
+    size_w = size if size_w is None else size_w
+    if pallas_gather_supported():
+        return gather_rects(img, anchors, size, size_w)
+    h, w = img.shape
+    pad_y, pad_x = size, size_w
+    padded = jnp.pad(img, ((pad_y, pad_y), (pad_x, pad_x)), mode="edge")
+    ax = jnp.clip(anchors[:, 0], -size_w, w - 1) + pad_x
+    ay = jnp.clip(anchors[:, 1], -size, h - 1) + pad_y
+    rows = ay[:, None] + jnp.arange(size)
+    cols = ax[:, None] + jnp.arange(size_w)
+    return padded[rows[:, :, None], cols[:, None, :]]  # (N, size, size_w)
+
+
+def sample_tiles(tiles: jax.Array, offsets: jax.Array, kh: int,
+                 kw: int | None = None) -> jax.Array:
+    """Bilinear (kh x kw) patches from (N, Sh, Sw) tiles at float top-left
+    ``offsets`` (N, 2) [x, y] in tile coordinates.
+
+    Bilinear interpolation is separable, so the sample is two small batched
+    matmuls (MXU) instead of 4 gather taps per pixel:
+      patch = Wy @ tile @ Wx^T,  Wy[i, s] = max(0, 1 - |(y0 + i) - s|).
+    Offsets are clamped so the patch stays inside the tile."""
+    kw = kh if kw is None else kw
+    n, sh, sw = tiles.shape
+    dtype = tiles.dtype
+    # max top-left keeps the last bilinear tap (offset + k - 1, rounded up)
+    # inside the tile: offset <= s - k
+    ox = jnp.clip(offsets[:, 0], 0.0, float(sw - kw))
+    oy = jnp.clip(offsets[:, 1], 0.0, float(sh - kh))
+    iy = jnp.arange(kh, dtype=dtype)
+    ix = jnp.arange(kw, dtype=dtype)
+    ssh = jnp.arange(sh, dtype=dtype)
+    ssw = jnp.arange(sw, dtype=dtype)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(oy[:, None, None] + iy[None, :, None] - ssh[None, None, :])
+    )  # (N, kh, Sh)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(ox[:, None, None] + ix[None, :, None] - ssw[None, None, :])
+    )  # (N, kw, Sw)
+    # full f32 products: the TPU's default mixed-bf16 matmul truncates the
+    # image VALUES (the weights are exact one-hot/tent selections)
+    tmp = jnp.einsum("nks,nst->nkt", wy, tiles, precision="highest")
+    return jnp.einsum("nkt,njt->nkj", tmp, wx, precision="highest")
+
+
+def extract_patches_sep(img: jax.Array, centers: jax.Array, radius: int
+                        ) -> jax.Array:
+    """Drop-in for extract_patches: one integer tile gather + separable
+    bilinear matmuls instead of 4 scattered taps per pixel."""
+    h, w = img.shape
+    k = 2 * radius + 1
+    x = jnp.clip(centers[:, 0], 0.0, w - 1.0)
+    y = jnp.clip(centers[:, 1], 0.0, h - 1.0)
+    ax = jnp.floor(x).astype(jnp.int32) - radius
+    ay = jnp.floor(y).astype(jnp.int32) - radius
+    tiles = extract_tiles(img, jnp.stack([ax, ay], -1), k + 1)
+    # edge-clamp parity with bilinear_sample: offsets relative to the tile
+    offs = jnp.stack([x - ax.astype(img.dtype) - radius,
+                      y - ay.astype(img.dtype) - radius], -1)
+    return sample_tiles(tiles, offs, k)
+
+
 def patch_in_bounds(centers: jax.Array, radius: float, h: int, w: int) -> jax.Array:
     """(N,) bool: whole patch inside the image (the reference's bb.contains
     guard, optimisation.cpp:155, 183)."""

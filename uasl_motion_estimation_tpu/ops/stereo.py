@@ -1,19 +1,20 @@
-"""Dense ZNCC disparity cost volume — the TPU-native epipolar matcher core.
+"""ZNCC disparity cost volume — the TPU-native epipolar matcher core.
 
-The naive formulation (gather a patch per feature per candidate disparity)
-issues O(N_feats * D * patch) random-access gathers, which is the worst
-possible access pattern for the TPU memory system. Instead, ZNCC over a
-square window is computed DENSELY for the whole image from box-filtered
-moments:
+Replaces the reference's per-ROI ``applyCCOEFFNormed``
+(src/core/mutual_information.cpp:136-140) scaled to all features x
+disparities at once.
 
-  zncc_d(p) = (box(L * R_d) - box(L) box(R_d))
-              / sqrt(var(L) var(R_d)),     R_d = right shifted d pixels
+Design (v2, measured on TPU v5e): score only what is needed. For each of the
+N features, gather ONE horizontal strip of the right image covering all D
+candidate windows (a single (N, K, D+K-1) gather), then compute the whole
+(N, D) ZNCC volume as batched einsums over shifted strip views — the cross
+term is a (K*K)x(D) matvec per feature that lands on the MXU. Total compute
+is ~N*D*K^2 MACs (~15 MFLOP for 500 feats x 128 disparities x 11x11), with
+no sequential scan and no full-image work.
 
-which is pure elementwise math + separable box filters (VPU-regular, no
-gathers), scanned over d with per-step sampling at the feature locations so
-the full (D, H, W) volume is never materialized. Replaces the reference's
-per-ROI ``applyCCOEFFNormed`` (mutual_information.cpp:136-140) scaled to all
-features x disparities at once.
+(The previous formulation computed dense box-filtered ZNCC over the full
+image inside a 128-step ``lax.scan``; it was VPU-regular but serialized —
+363 ms/frame on the real chip vs <2 ms for this one.)
 """
 
 from __future__ import annotations
@@ -24,11 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from . import image as im
-
-
-def _box_mean(img: jax.Array, radius: int) -> jax.Array:
-    k = jnp.ones(2 * radius + 1, img.dtype) / (2 * radius + 1)
-    return im._sep_filter(img, k, k)
 
 
 @partial(jax.jit, static_argnames=("max_disparity", "radius"))
@@ -54,39 +50,49 @@ def zncc_disparity_scores(
     """
     h, w = left.shape
     dtype = left.dtype
-    n = feats_xy.shape[0]
+    d_max = max_disparity
+    r = radius
+    k = 2 * r + 1
+    npix = k * k
 
     xi = jnp.clip(jnp.round(feats_xy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(feats_xy[:, 1]).astype(jnp.int32), 0, h - 1)
-    flat_idx = yi * w + xi
 
-    mL = _box_mean(left, radius)
-    varL = jnp.maximum(_box_mean(left * left, radius) - mL * mL, 0.0)
-    mR = _box_mean(right, radius)
-    varR = jnp.maximum(_box_mean(right * right, radius) - mR * mR, 0.0)
+    # one strip per feature covering every candidate window: true columns
+    # [xi - (D-1) - r, xi + r]; one block copy per feature (Pallas DMA on
+    # TPU, ops/pallas/gather.py) — out-of-bounds candidates are masked below
+    strip_w = d_max + 2 * r
+    strip_anchor = jnp.stack([xi - (d_max - 1) - r, yi - r], -1)
+    strip = im.extract_tiles(right, strip_anchor, k, strip_w)  # (N, K, S)
 
-    # pad on the left so shift-by-d is a dynamic_slice (value at (y, x)
-    # becomes img[y, x - d]); the scan never materializes the (D, H, W) volume
-    def step(carry, d):
-        del carry
-        Rd = jax.lax.dynamic_slice(
-            padR, (0, max_disparity - d), (h, w)
-        )
-        mRd = jax.lax.dynamic_slice(padmR, (0, max_disparity - d), (h, w))
-        varRd = jax.lax.dynamic_slice(padvR, (0, max_disparity - d), (h, w))
-        cross = _box_mean(left * Rd, radius) - mL * mRd
-        denom = jnp.sqrt(varL * varRd)
-        z = cross / jnp.maximum(denom, eps)
-        # candidate in-bounds: x - d - radius >= 0
-        ok = (xi - d - radius) >= 0
-        vals = jnp.where(ok, z.ravel()[flat_idx], -jnp.inf)
-        return 0, vals
+    # left template patch at the same integer grid
+    tpl_anchor = jnp.stack([xi - r, yi - r], -1)
+    tpl = im.extract_tiles(left, tpl_anchor, k)  # (N, K, K)
+    tpl0 = tpl - jnp.mean(tpl, axis=(-2, -1), keepdims=True)
+    tnorm = jnp.sqrt(jnp.maximum(jnp.sum(tpl0 * tpl0, axis=(-2, -1)), eps))
 
-    padR = jnp.pad(right, ((0, 0), (max_disparity, 0)))
-    padmR = jnp.pad(mR, ((0, 0), (max_disparity, 0)))
-    padvR = jnp.pad(varR, ((0, 0), (max_disparity, 0)))
+    # shifted strip views: sh[:, i, c, t] = strip[:, i, t + c]; the window of
+    # disparity d starts at t = D-1-d
+    sh = jnp.stack(
+        [jax.lax.slice_in_dim(strip, c, c + d_max, axis=2) for c in range(k)],
+        axis=2,
+    )  # (N, K, K, D)
 
-    _, scores = jax.lax.scan(
-        step, 0, jnp.arange(max_disparity, dtype=jnp.int32)
-    )  # (D, N)
-    return scores.T.astype(dtype)  # (N, D)
+    # cross term as a batched (K*K) x D matvec -> MXU; Sum(tpl0) = 0 makes
+    # the candidate-mean term vanish
+    corr = jnp.einsum("nkc,nkcd->nd", tpl0, sh, precision="highest")
+    s1 = jnp.einsum("nkcd->nd", sh)
+    s2 = jnp.einsum("nkcd,nkcd->nd", sh, sh, precision="highest")
+    var_n = jnp.maximum(s2 - s1 * s1 / npix, eps)  # npix * var
+
+    z = corr / (jnp.sqrt(var_n) * tnorm[:, None])  # (N, t)
+    z = jnp.flip(z, axis=-1)  # t = D-1-d  ->  index by d
+
+    d_range = jnp.arange(d_max, dtype=jnp.int32)
+    ok = (
+        ((xi[:, None] - d_range[None, :] - r) >= 0)
+        & ((xi + r) < w)[:, None]
+        & ((yi - r) >= 0)[:, None]
+        & ((yi + r) < h)[:, None]
+    )
+    return jnp.where(ok, z, -jnp.inf).astype(dtype)
