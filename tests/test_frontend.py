@@ -85,6 +85,46 @@ class TestDetection:
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+class TestGridDetection:
+    def test_finds_checkerboard_corners(self):
+        img = checkerboard(noise=0.5)
+        xy, scores, valid = im.detect_features_grid(
+            jnp.asarray(img), max_features=256
+        )
+        assert xy.shape == (256, 2)
+        xy = np.asarray(xy)[np.asarray(valid)]
+        assert len(xy) > 50
+        frac = np.minimum(xy % 20, 20 - (xy % 20))
+        assert np.median(frac) < 2.5
+
+    def test_spatial_spread(self):
+        """Bucketing guarantees at most one feature per cell -> spread
+        features even when texture is concentrated."""
+        img = np.full((240, 320), 50.0, np.float32)
+        # strong texture only in one corner
+        img[:60, :60] = np.asarray(textured_scene(60, 60))
+        xy, scores, valid = im.detect_features_grid(
+            jnp.asarray(img), max_features=128, quality_level=0.0
+        )
+        xy = np.asarray(xy)[np.asarray(valid)]
+        gh, gw = im._grid_shape(240, 320, 128)
+        # no two valid features share a grid cell
+        cells = (xy[:, 1] // -(-240 // gh)).astype(int) * gw + (
+            xy[:, 0] // -(-320 // gw)
+        ).astype(int)
+        assert len(np.unique(cells)) == len(cells)
+
+    def test_determinism_and_budget(self):
+        img = jnp.asarray(textured_scene())
+        xy1, s1, v1 = im.detect_features_grid(img, max_features=200)
+        xy2, _, v2 = im.detect_features_grid(img, max_features=200)
+        assert xy1.shape == (200, 2)
+        np.testing.assert_array_equal(np.asarray(xy1), np.asarray(xy2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        gh, gw = im._grid_shape(240, 320, 200)
+        assert gh * gw <= 200
+
+
 class TestStereoMatch:
     def _make_pair(self, disparity=17.0):
         right = textured_scene()

@@ -291,7 +291,8 @@ class QuadMatches(NamedTuple):
     valid: jax.Array  # (N,)
 
 
-@partial(jax.jit, static_argnames=("max_features", "matcher", "klt", "detect_kwargs"))
+@partial(jax.jit, static_argnames=("max_features", "matcher", "klt",
+                                   "detect_kwargs", "detector"))
 def quad_match_frames(
     prev_left: jax.Array,
     prev_right: jax.Array,
@@ -301,14 +302,25 @@ def quad_match_frames(
     matcher: MatcherConfig = MatcherConfig(),
     klt: KLTConfig = KLTConfig(),
     detect_kwargs: tuple = (),
+    detector: str = "grid",
 ) -> QuadMatches:
     """Full quad-matching: detect in prev-left, ZNCC-match both stereo pairs,
     KLT-track left features forward (the front-end loop the reference leaves
     to its consumers; SURVEY.md section 3.5).
+
+    ``detector``: "grid" = bucketed best-per-cell GFTT (fast, spread);
+    "topk" = global top-k GFTT with NMS (ops/image.py detect_features).
     """
-    feats_l, _, v0 = im.detect_features(
-        prev_left, max_features=max_features, **dict(detect_kwargs)
-    )
+    kw = dict(detect_kwargs)
+    if detector == "grid":
+        kw.pop("nms_radius", None)  # cell bucketing subsumes wide NMS
+        feats_l, _, v0 = im.detect_features_grid(
+            prev_left, max_features=max_features, **kw
+        )
+    else:
+        feats_l, _, v0 = im.detect_features(
+            prev_left, max_features=max_features, **kw
+        )
     f2, _, v1 = match_stereo(prev_left, prev_right, feats_l, v0, matcher)
     tracked = klt_track(prev_left, cur_left, feats_l, v1, klt)
     f4, _, v3 = match_stereo(cur_left, cur_right, tracked.pts, tracked.valid, matcher)

@@ -32,6 +32,7 @@ class PipelineConfig(NamedTuple):
     klt: fe.KLTConfig = fe.KLTConfig()
     detect_nms_radius: int = 5
     detect_quality: float = 0.01
+    detector: str = "grid"  # "grid" bucketed GFTT | "topk" global top-k
 
 
 class FrameOutput(NamedTuple):
@@ -66,6 +67,7 @@ def vo_step(
             ("nms_radius", cfg.detect_nms_radius),
             ("quality_level", cfg.detect_quality),
         ),
+        detector=cfg.detector,
     )
     res: StereoVOResult = stereo_vo_solve(qm.uv, qm.valid, key, cfg.vo)
     return FrameOutput(

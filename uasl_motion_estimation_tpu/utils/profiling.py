@@ -14,6 +14,37 @@ import time
 from collections import defaultdict
 
 import jax
+import numpy as np
+
+
+def force(tree):
+    """Materialize every array of a pytree on the host and return it.
+
+    THE timing barrier for this backend: ``jax.block_until_ready`` returns
+    before execution completes on tunneled TPU devices (measured: a dispatch
+    "completed" in 0.2 ms while the subsequent fetch took 114 s), so every
+    timed repetition must round-trip real bytes. ``device_get`` of the full
+    output pytree is the only honest fence; all benchmark loops in this repo
+    go through here.
+    """
+    return jax.tree.map(np.asarray, tree)
+
+
+def timeit_forced(fn, *args, reps: int = 5, warmup: int = 2, **kwargs):
+    """Median wall-clock seconds of ``force(fn(*args))`` over ``reps`` runs.
+
+    Compilation and backend warmup are excluded by the untimed warmup calls.
+    Returns (median_seconds, last_result).
+    """
+    out = None
+    for _ in range(warmup):
+        out = force(fn(*args, **kwargs))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = force(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
 
 
 @contextlib.contextmanager
