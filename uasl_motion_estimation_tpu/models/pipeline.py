@@ -31,7 +31,11 @@ class PipelineConfig(NamedTuple):
     matcher: fe.MatcherConfig = fe.MatcherConfig()
     klt: fe.KLTConfig = fe.KLTConfig()
     detect_nms_radius: int = 5
-    detect_quality: float = 0.01
+    # Quality gate relative to the strongest corner. 1e-4 keeps weak-texture
+    # grid cells (the ZNCC min_score, KLT min-eig and residual checks cull
+    # genuinely untrackable ones downstream); the OpenCV-default 0.01 starves
+    # the bucketed detector to ~160/500 matches on low-contrast scenes.
+    detect_quality: float = 1e-4
     detector: str = "grid"  # "grid" bucketed GFTT | "topk" global top-k
 
 
@@ -54,7 +58,14 @@ def vo_step(
     cfg: PipelineConfig,
 ) -> FrameOutput:
     """One full frame of odometry: front-end + pose solve. Jit-compiled once
-    per (image shape, config)."""
+    per (image shape, config).
+
+    Images may arrive as uint8 (the wire/staging format — 4x fewer bytes over
+    the host->device link than float32); compute is always float32.
+    """
+    prev_left, prev_right, cur_left, cur_right = (
+        x.astype(jnp.float32) for x in (prev_left, prev_right, cur_left, cur_right)
+    )
     qm = fe.quad_match_frames(
         prev_left,
         prev_right,
@@ -203,6 +214,62 @@ class OdometryPipeline:
             self.process_pair(left, right)
         return np.asarray(self.trajectory)
 
+    def stage_frames(
+        self, frames: list[tuple[np.ndarray, np.ndarray]]
+    ) -> tuple[jax.Array, jax.Array]:
+        """Upload a frame sequence to device HBM as uint8 (4x fewer bytes on
+        the host->device link than float32; conversion happens on device
+        inside the jitted step). Returns (lefts, rights) device arrays —
+        feed to run_staged.
+        """
+        ls = np.stack([np.asarray(f[0]) for f in frames])
+        rs = np.stack([np.asarray(f[1]) for f in frames])
+        ls = jax.device_put(np.clip(ls, 0, 255).astype(np.uint8))
+        rs = jax.device_put(np.clip(rs, 0, 255).astype(np.uint8))
+        # materialize the transfer before returning (async device_put)
+        jax.device_get((ls[0, :1, :1], rs[0, :1, :1]))
+        return ls, rs
+
+    def run_staged(
+        self, ls: jax.Array, rs: jax.Array, chunk: int = 8
+    ) -> np.ndarray:
+        """Whole-sequence single-dispatch over device-resident frames.
+
+        The pose chain is composed on the host in float64 (40+ chained f32
+        4x4 inversions measurably drift; the per-frame motions themselves
+        stay device-computed). Returns (N, 4, 4) cam-to-world poses.
+        """
+        n = int(ls.shape[0])
+        b = n - 1
+        g = -(-b // chunk)
+        idx_prev = np.clip(np.arange(g * chunk), 0, b - 1)
+        idx_cur = idx_prev + 1
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, g * chunk)
+        _, out = vo_sequence_scan(
+            ls[idx_prev], rs[idx_prev], ls[idx_cur], rs[idx_cur], keys,
+            self.cfg, chunk,
+        )
+        host = jax.device_get(out)
+        pose = self.pose.copy()
+        for i in range(b):
+            if bool(host.success[i]):
+                pose = pose @ np.linalg.inv(
+                    np.asarray(host.motion[i], np.float64)
+                )
+            self.trajectory.append(pose.copy())
+            if self.logger is not None:
+                self.logger.log(
+                    frame=self.frame_idx + i + 1,
+                    success=bool(host.success[i]),
+                    n_matches=int(host.n_matches[i]),
+                    n_inliers=int(host.n_inliers[i]),
+                    mean_reproj_error=float(host.mean_reproj_error[i]),
+                )
+        self.pose = pose
+        self.frame_idx += n
+        return np.asarray(self.trajectory)
+
     def run_sequence(
         self,
         frames: list[tuple[np.ndarray, np.ndarray]],
@@ -286,7 +353,22 @@ class OdometryPipeline:
         return np.asarray(self.trajectory)
 
 
-def default_config(intr: geo.Intrinsics, baseline: float, **vo_overrides
-                   ) -> PipelineConfig:
+def default_config(
+    intr: geo.Intrinsics,
+    baseline: float,
+    image_shape: tuple[int, int] | None = None,
+    **vo_overrides,
+) -> PipelineConfig:
+    """Reference-default pipeline config.
+
+    ``image_shape`` (h, w) scales resolution-dependent constants: the RANSAC
+    sample spread gate is the reference's 1000 px^2 AT KITTI RESOLUTION
+    (StereoVisualOdometry.cpp:63) — applied verbatim to a small frame it
+    rejects nearly every sample (round 1's multichip dryrun failed 5/8
+    frames this way), so it scales with image area.
+    """
+    if image_shape is not None and "min_spread_area" not in vo_overrides:
+        h, w = image_shape
+        vo_overrides["min_spread_area"] = 1000.0 * (h * w) / (376.0 * 1241.0)
     vo = StereoVOParams(intr1=intr, intr2=intr, baseline=baseline, **vo_overrides)
     return PipelineConfig(vo=vo)

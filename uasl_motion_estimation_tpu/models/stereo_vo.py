@@ -50,9 +50,13 @@ class StereoVOParams(NamedTuple):
     # Tolerance defaults are the float32-appropriate analogues of the
     # reference's f64 values (e1=1e-3, e2=e3=1e-12, e4=1e-15,
     # VisualOdometry.h:32) — the originals sit below f32 resolution.
+    # e3 = 2e-5: a relative step that small moves reprojections by ~0.01 px
+    # (f * 2e-5 / z), far inside the 2 px inlier noise; with the round-1
+    # 1e-7 the criterion NEVER fired in f32 and every refine burned the full
+    # max_iter budget at MAX_ITERATIONS.
     e1: float = 1e-3  # mean reproj error tol
     e2: float = 1e-8  # gradient tol
-    e3: float = 1e-7  # increment tol
+    e3: float = 2e-5  # increment tol (relative)
     e4: float = 1e-10  # relative decrease tol
     ransac: bool = True
     n_ransac: int = 200

@@ -87,10 +87,9 @@ def _gather_aligned(img: jax.Array, anchors: jax.Array, pad_h: int,
 
 
 def pallas_gather_supported() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend at all
-        return False
+    from .support import tpu_kernels_supported
+
+    return tpu_kernels_supported()
 
 
 def _gather_rects_2d(img, anchors, tile_h: int, tile_w: int, block: int,

@@ -158,6 +158,16 @@ def klt_level(img_prev: jax.Array, img_next: jax.Array, pts: jax.Array,
     h, w = img_prev.shape
     n = pts.shape[0]
     k = 2 * r + 1
+    # The fixed _PW-wide tile must hold the lane-alignment residual (up to
+    # _LANE-1 px) plus the widest sampled window; a silent overflow would
+    # zero the tent weights and produce garbage tracks.
+    need = _LANE - 1 + max(k + 3, k + 2 * margin + 2)
+    if need > _PW:
+        raise ValueError(
+            f"window_radius={r} / margin={margin} need {need} px of tile "
+            f"width but the kernel tile is {_PW}; shrink the window or "
+            f"margin (or use the XLA path, KLTConfig(fused=False))"
+        )
     pad_hp = _round_up(_SUB - 1 + k + 3, _SUB)  # k+2 window + bilinear tap
     s_n = k + 2 * margin + 1
     pad_hn = _round_up(_SUB - 1 + s_n + 1, _SUB)

@@ -119,10 +119,9 @@ def mi_quantized_pairs(
 
 def pallas_supported() -> bool:
     """True when the default backend can run (non-interpreted) TPU kernels."""
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+    from .support import tpu_kernels_supported
+
+    return tpu_kernels_supported()
 
 
 def mutual_information_pallas(

@@ -371,6 +371,11 @@ class ImageStampFile(CsvFile):
         return None
 
 
+class EndOfStream(Exception):
+    """A sequence reader ran out of frames/stamps (dedicated type so it can
+    propagate through generator frames, unlike StopIteration under PEP 479)."""
+
+
 class VideoSequenceReader:
     """Stereo/mono reader over per-camera video streams
     ``cam{N}_image.avi`` — the reference ImageReader's VIDEO mode
@@ -410,27 +415,30 @@ class VideoSequenceReader:
             for _ in range(skip):
                 nxt = self._stamps.read_next()
                 if nxt is None:
-                    raise StopIteration
+                    raise EndOfStream(f"stamp file exhausted in {self.dir}")
                 self.img_nb, self.img_stamp = nxt
         else:
             self.img_nb += skip
 
     def read_frame(self):
         """Grab the next frame pair (or mono frame) honoring skip; returns
-        float32 grayscale array(s), or raises StopIteration at stream end."""
+        float32 grayscale array(s). Raises EndOfStream at stream end
+        (NOT StopIteration: that would silently vanish — or turn into a
+        RuntimeError under PEP 479 — inside generator-based callers, and as
+        a constructor error it is misleading)."""
         import cv2
 
         self._advance(self.frames.skip)
         out = []
         for cap in self.caps:
             if not cap.isOpened():
-                raise StopIteration
+                raise EndOfStream(f"video stream not open in {self.dir}")
             while cap.get(cv2.CAP_PROP_POS_FRAMES) < self.img_nb:
                 if not cap.grab():
-                    raise StopIteration
+                    raise EndOfStream(f"video stream exhausted in {self.dir}")
             ok, img = cap.read()
             if not ok:
-                raise StopIteration
+                raise EndOfStream(f"video stream exhausted in {self.dir}")
             if img.ndim == 3:
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
             out.append(img.astype(np.float32))
@@ -440,7 +448,7 @@ class VideoSequenceReader:
         while self.frames.stop < 0 or self.img_nb < self.frames.stop:
             try:
                 yield self.read_frame()
-            except StopIteration:
+            except EndOfStream:
                 return
 
     def close(self):
@@ -448,15 +456,105 @@ class VideoSequenceReader:
             cap.release()
 
 
-class GTReader(CsvFile):
-    """Ground-truth pose CSV reader (GTReader, file_IO.h:424-463): columns
-    x, y, z [, q_w, q_x, q_y, q_z] indexed by timestamp/frame."""
+class GTReader:
+    """Ground-truth pose reader (GTReader, file_IO.h:424-463).
+
+    Line format mirrors readPoseLine (file_IO.h:437-461):
+    ``timestamp, ox, oy, oz, ow, x, y, z`` — four orientation values in
+    file order (x, y, z, w; the reference builds Quat{o[3], o[0], o[1],
+    o[2]}), then position. The first line is a free-form header
+    (readHeader, file_IO.h:432-436).
+
+    Beyond per-line reads, provides the time-synced retrieval the round-1
+    port lacked: ``get_next(stamp)`` advances to the first pose at/after a
+    stamp (the getNextData convention of the sensor files,
+    file_IO.cpp:285-294) and ``pose_at(stamp)`` interpolates the bracketing
+    poses (lerp position, slerp orientation) for RPE evaluation against
+    arbitrary frame stamps.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path)
+        self.header = self._fh.readline().rstrip("\n")
+        self._pending: tuple[int, np.ndarray, np.ndarray] | None = None
+
+    def read_pose_line(self) -> tuple[int, np.ndarray, np.ndarray] | None:
+        """(stamp, quat [w,x,y,z], position) of the next line, or None."""
+        for line in self._fh:
+            vals = [v for v in re.split(r"[,\s]+", line.strip()) if v]
+            if len(vals) < 8:
+                continue
+            stamp = int(float(vals[0]))
+            o = [float(v) for v in vals[1:5]]
+            pos = np.array([float(v) for v in vals[5:8]])
+            quat = np.array([o[3], o[0], o[1], o[2]])  # file order x,y,z,w
+            return stamp, quat, pos
+        return None
+
+    def _next_entry(self):
+        if self._pending is not None:
+            e, self._pending = self._pending, None
+            return e
+        return self.read_pose_line()
+
+    def get_next(self, stamp: int) -> PoseData | None:
+        """First pose with stamp >= ``stamp`` (sensor-file sync convention,
+        file_IO.cpp:285-294); streams forward, call with increasing stamps."""
+        while True:
+            e = self._next_entry()
+            if e is None:
+                return None
+            s, q, p = e
+            if s >= stamp:
+                self._pending = (s, q, p)
+                return PoseData(position=p, orientation=q, stamp=s)
+
+    def read_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(stamps (N,), quats (N, 4) [w,x,y,z], positions (N, 3))."""
+        stamps, quats, poss = [], [], []
+        while True:
+            e = self._next_entry()
+            if e is None:
+                break
+            stamps.append(e[0])
+            quats.append(e[1])
+            poss.append(e[2])
+        return (np.asarray(stamps, np.int64), np.asarray(quats),
+                np.asarray(poss))
+
+    def pose_at(self, stamps, query: int) -> PoseData:
+        """Interpolated pose at ``query`` from read_all() output ``stamps`` =
+        (stamps, quats, positions): linear position, slerp orientation;
+        clamps outside the covered range."""
+        ts, quats, poss = stamps
+        i = int(np.searchsorted(ts, query))
+        if i <= 0:
+            return PoseData(position=poss[0], orientation=quats[0],
+                            stamp=int(ts[0]))
+        if i >= len(ts):
+            return PoseData(position=poss[-1], orientation=quats[-1],
+                            stamp=int(ts[-1]))
+        t0, t1 = ts[i - 1], ts[i]
+        a = (query - t0) / max(t1 - t0, 1)
+        pos = (1 - a) * poss[i - 1] + a * poss[i]
+        q0, q1 = quats[i - 1], quats[i - 1 + 1]
+        dot = float(np.dot(q0, q1))
+        q1s = q1 if dot >= 0 else -q1
+        dot = abs(dot)
+        if dot > 0.9995:  # nearly parallel: lerp
+            q = (1 - a) * q0 + a * q1s
+        else:
+            th = np.arccos(np.clip(dot, -1.0, 1.0))
+            q = (np.sin((1 - a) * th) * q0 + np.sin(a * th) * q1s) / np.sin(th)
+        q = q / np.linalg.norm(q)
+        return PoseData(position=pos, orientation=q, stamp=int(query))
 
     def positions(self) -> np.ndarray:
-        out = []
-        for row in self.rows():
-            out.append([row.get("x", 0.0), row.get("y", 0.0), row.get("z", 0.0)])
-        return np.asarray(out)
+        return self.read_all()[2]
+
+    def close(self):
+        self._fh.close()
 
 
 # phase-congruency plane suffixes (loadPCImage[s], file_IO.cpp:366-398)
