@@ -99,6 +99,18 @@ def run_tpu(rig, seq, frames):
     pipe.run_staged(ls2, rs2, chunk=CHUNK)
     fps_e2e = (N_FRAMES - 1) / (time.perf_counter() - t0)
 
+    # BENCH_TRACE=1: capture a jax.profiler trace of one timed run so the
+    # wall-clock/device-compute split is inspectable (benchmarks/trace_r02)
+    if os.environ.get("BENCH_TRACE") == "1":
+        try:
+            trace_dir = REPO / "benchmarks" / "trace_r02"
+            with jax.profiler.trace(str(trace_dir)):
+                pipe.reset()
+                pipe.run_staged(ls, rs, chunk=CHUNK)
+            print(f"# trace written to {trace_dir}", file=sys.stderr)
+        except Exception as e:  # tunnel backends may not support tracing
+            print(f"# trace capture failed: {e}", file=sys.stderr)
+
     extras = {
         "fps_end_to_end": round(fps_e2e, 3),
         "upload_mb": round(up_mb, 1),

@@ -171,3 +171,29 @@ def test_deterministic_given_key():
     r2 = stereo_vo_solve(matches, valid, jax.random.key(9), PARAMS)
     np.testing.assert_array_equal(np.asarray(r1.state), np.asarray(r2.state))
     np.testing.assert_array_equal(np.asarray(r1.inlier_mask), np.asarray(r2.inlier_mask))
+
+
+class TestHypothesisSolvers:
+    """The three hypothesis modes (closed-form triad seed, Grunert P3P seed,
+    legacy pure-GN) must all recover the pose (BASELINE config 1 names P3P;
+    the triad is the default fast path)."""
+
+    @pytest.mark.parametrize("solver", ["3pt", "p3p", "gn"])
+    def test_modes_recover_pose(self, solver):
+        matches, valid, state, _ = make_scene(noise=0.2, n_outliers=30)
+        params = PARAMS._replace(hyp_solver=solver)
+        res = stereo_vo_solve(matches, valid, jax.random.key(3), params)
+        assert bool(res.success), solver
+        np.testing.assert_allclose(np.asarray(res.state), np.asarray(state),
+                                   atol=5e-3, err_msg=solver)
+
+    def test_triad_seed_beats_zero_init_iteration_budget(self):
+        """With only 2 GN polish iterations the closed-form seed must still
+        classify inliers correctly; the legacy solver needs ~12."""
+        matches, valid, state, outliers = make_scene(noise=0.1, n_outliers=40)
+        params = PARAMS._replace(hyp_solver="3pt", ransac_gn_iters=2)
+        res = stereo_vo_solve(matches, valid, jax.random.key(5), params)
+        assert bool(res.success)
+        inl = np.asarray(res.inlier_mask)
+        assert inl[outliers].sum() <= 2
+        assert inl.sum() >= 120

@@ -48,6 +48,7 @@ class KLTConfig(NamedTuple):
     # default config reaches ~155 px.
     max_displacement: float = 150.0
     tile_margin: int = 5  # px of local search room per level (tile gather)
+    converge_px: float = 0.03  # early exit when every live update is below
     # Fused Pallas level kernel vs XLA tile path. Measured on the v5e
     # (benchmarks/profile_variants.py, vmap x16): XLA tiles 9.8 ms/frame vs
     # fused kernel 17.3 ms — the kernel serializes features per grid step
@@ -231,11 +232,20 @@ def klt_track(
             if level > 0:
                 d = d * 2.0
             continue
-        gx, gy = im.scharr(ip)
 
-        tpl = im.extract_patches_sep(ip, p_prev, r)  # (N, k, k)
-        gxp = im.extract_patches_sep(gx, p_prev, r)
-        gyp = im.extract_patches_sep(gy, p_prev, r)
+        # template + its Scharr gradients from ONE (k+2)-wide patch gather:
+        # bilinear sampling and the gradient filter are both LSI, so
+        # sample-then-filter equals filter-then-sample on the interior —
+        # this replaces two full-image Scharr passes and two extra patch
+        # gathers per level (same trick as the fused kernel).
+        t_big = im.extract_patches_sep(ip, p_prev, r + 1)  # (N, k+2, k+2)
+        tpl = t_big[:, 1:-1, 1:-1]
+        sy = (3.0 * t_big[:, :-2, :] + 10.0 * t_big[:, 1:-1, :]
+              + 3.0 * t_big[:, 2:, :]) / 16.0
+        gxp = (sy[:, :, 2:] - sy[:, :, :-2]) * 0.5
+        sx = (3.0 * t_big[:, :, :-2] + 10.0 * t_big[:, :, 1:-1]
+              + 3.0 * t_big[:, :, 2:]) / 16.0
+        gyp = (sx[:, 2:, :] - sx[:, :-2, :]) * 0.5
 
         # 2x2 structure tensor per feature (constant across iterations)
         a11 = jnp.sum(gxp * gxp, axis=(-2, -1))
@@ -244,7 +254,6 @@ def klt_track(
         det = a11 * a22 - a12 * a12
         tr = a11 + a22
         min_eig = 0.5 * (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0)))
-        npix = (2 * r + 1) ** 2
         eig_ok = eig_ok & (min_eig / npix > cfg.min_eig_threshold)
         inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
 
@@ -252,8 +261,9 @@ def klt_track(
         anchor = jnp.floor(p_prev + d).astype(jnp.int32) - (r + margin)
         tiles = im.extract_tiles(inx, anchor, tile_size)
         anchor_f = anchor.astype(d.dtype)
+        track_ok = valid_prev & eig_ok
 
-        def step(_, dcur, *, tiles=tiles, anchor_f=anchor_f, p_prev=p_prev,
+        def step(dcur, *, tiles=tiles, anchor_f=anchor_f, p_prev=p_prev,
                  tpl=tpl, gxp=gxp, gyp=gyp, a11=a11, a12=a12, a22=a22,
                  inv_det=inv_det):
             # patch top-left in tile coordinates
@@ -270,9 +280,27 @@ def klt_track(
             # stay within the gathered tile (clamp in displacement space)
             lo = anchor_f + r - p_prev  # off = 0
             hi = lo + (tile_size - k - 1)
-            return jnp.clip(dnew, lo, hi)
+            dnew = jnp.clip(dnew, lo, hi)
+            # residual step of still-live tracks, for the convergence exit
+            live = jnp.where(track_ok[:, None], jnp.abs(dnew - dcur), 0.0)
+            return dnew, jnp.max(live)
 
-        d = jax.lax.fori_loop(0, cfg.iters, step, d)
+        def cond(c):
+            i, _, delta = c
+            return (i < cfg.iters) & (delta > cfg.converge_px)
+
+        def body(c):
+            i, dcur, _ = c
+            dnew, delta = step(dcur)
+            return i + 1, dnew, delta
+
+        # while_loop instead of a fixed fori_loop: all features usually
+        # converge in 3-5 iterations; the lock-step batch exits as soon as
+        # the largest live update drops below converge_px
+        _, d, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), d,
+                         jnp.asarray(jnp.inf, d.dtype))
+        )
         if level > 0:
             d = d * 2.0
 

@@ -66,7 +66,10 @@ class StereoVOParams(NamedTuple):
     min_inliers: int = 6  # cpp:84
     # Hypothesis generation: "3pt" seeds each sample with the closed-form
     # triad alignment of the stereo-triangulated prev/cur point triples
-    # (ops/pnp.py) and polishes with ransac_gn_iters GN steps; "gn" is the
+    # (ops/pnp.py) and polishes with ransac_gn_iters GN steps; "p3p" seeds
+    # with Grunert's 3D-2D P3P on the current-left bearing rays (BASELINE
+    # config 1 — no current-frame triangulation needed, 4 candidates
+    # disambiguated on the sample's own reprojection error); "gn" is the
     # reference-shaped pure iterative solve (optimize(selection),
     # StereoVisualOdometry.cpp:59-71) needing ~12 iterations.
     hyp_solver: str = "3pt"
@@ -253,7 +256,40 @@ def stereo_vo_solve(
         spread_ok = jnp.abs(_triangle_area(sample_uv)) > p.min_spread_area
         sample_valid = jnp.all(valid[samples], axis=-1) & spread_ok
 
-        if p.hyp_solver == "3pt":
+        if p.hyp_solver == "p3p":
+            # Grunert P3P: previous-frame 3D points + current-left bearings.
+            # Up to 4 closed-form candidates per sample; keep the one with
+            # the smallest reprojection error on the sample itself.
+            rays = jnp.concatenate(
+                [
+                    (matches[:, 2, 0:1] - p.intr1.cu) / p.intr1.fu,
+                    (matches[:, 2, 1:2] - p.intr1.cv) / p.intr1.fv,
+                    jnp.ones_like(matches[:, 2, 0:1]),
+                ],
+                axis=-1,
+            )
+            rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+            def run_hyp(idx3):
+                Rs, ts, oks = pnp.p3p_grunert(pts3[idx3], rays[idx3])
+                # states for all 4 candidates: x_cur = R @ x_prev + t
+                states = jnp.concatenate(
+                    [jax.vmap(lambda R: lie.R_to_euler(R.T))(Rs), ts], axis=-1
+                )
+                states = jnp.where(
+                    (oks & jnp.all(jnp.isfinite(states), axis=-1))[:, None],
+                    states, jnp.broadcast_to(init, states.shape),
+                )
+                errs3 = jax.vmap(
+                    lambda s: jnp.sum(_sq_reproj_error(s, pts3[idx3],
+                                                       obs[idx3], p))
+                )(states)
+                seed = states[jnp.argmin(errs3)]
+                return _gn_fixed(
+                    seed, pts3[idx3], obs[idx3], valid_f[idx3], p,
+                    p.ransac_gn_iters,
+                )
+        elif p.hyp_solver == "3pt":
             # Closed-form seed: the quad match triangulates the SAME points in
             # the current frame too (f3/f4), so the minimal problem is 3D-3D
             # and the triad alignment solves it outright (ops/pnp.py); a short
