@@ -41,6 +41,13 @@ class KLTConfig(NamedTuple):
     n_levels: int = 5  # +-(2^levels * window) px range; 5 covers ~+-80 px
     window_radius: int = 5
     iters: int = 10
+    # Coarse levels (> 0) only need to land inside the next-finer level's
+    # convergence basin (~1-2 px at that level), not converge fully — the
+    # in-situ ablation (benchmarks/profile_klt_internals.py) puts the
+    # iteration loop at ~1.9 ms/frame of the 3.4 ms KLT stage, and a
+    # straggler track keeps the whole lock-step batch iterating, so capping
+    # coarse levels is the honest cut.
+    iters_coarse: int = 4
     min_eig_threshold: float = 1e-4
     max_residual: float = 12.0  # mean abs intensity error acceptance
     # Capture range is bounded by the per-level tile margin: total reach is
@@ -143,12 +150,30 @@ def match_stereo(
         # 1-D photometric Lucas-Kanade along the epipolar line: polishes the
         # integer-grid cost-volume pick to true subpixel alignment. Intensity
         # consistency does not hold cross-modally, so the MI path skips it.
+        # The patch value AND its Scharr-x gradient come from ONE widened
+        # (r+1) gather per iteration: bilinear sampling and the gradient
+        # filter are both LSI, so sample-then-filter equals filter-then-
+        # sample on the interior — this halves the gathers and drops the
+        # full-image Scharr pass the old formulation paid per frame.
         tpl = im.extract_patches_sep(img_left, feats_left, r)
-        gx_img, _ = im.scharr(img_right)
+        # ONE tile gather sized for every iteration: x moves at most 1 px per
+        # step (clipped below), so a 2*refine_iters-wider tile around the
+        # initial pick covers the whole refinement path.
+        it = cfg.refine_iters
+        kk = 2 * r + 3  # widened patch for the in-patch gradient
+        ax = jnp.floor(feats_right[:, 0]).astype(jnp.int32) - (r + 1) - it
+        ay = jnp.floor(feats_right[:, 1]).astype(jnp.int32) - (r + 1)
+        rt = im.extract_tiles(img_right, jnp.stack([ax, ay], -1),
+                              kk + 1, kk + 1 + 2 * it)
+        a_f = jnp.stack([ax, ay], -1).astype(img_right.dtype)
 
         def refine(_, fr):
-            p = im.extract_patches_sep(img_right, fr, r)
-            g = im.extract_patches_sep(gx_img, fr, r)
+            off = fr - a_f - (r + 1)
+            pbig = im.sample_tiles(rt, off, kk, kk)
+            p = pbig[:, 1:-1, 1:-1]
+            sy = (3.0 * pbig[:, :-2, :] + 10.0 * pbig[:, 1:-1, :]
+                  + 3.0 * pbig[:, 2:, :]) / 16.0
+            g = (sy[:, :, 2:] - sy[:, :, :-2]) * 0.5
             err = p - tpl
             denom = jnp.sum(g * g, axis=(-2, -1))
             step = -jnp.sum(err * g, axis=(-2, -1)) / jnp.maximum(denom, 1e-6)
@@ -186,8 +211,9 @@ def klt_track(
     """Pyramidal Lucas-Kanade tracking, all features in lock-step.
 
     New scope (BASELINE config 2). Coarse-to-fine over a Gaussian pyramid;
-    at each level every feature runs ``iters`` fixed iterations of the 2x2
-    LK solve with masked updates (no data-dependent control flow).
+    at each level every feature runs up to ``iters`` (level 0) or
+    ``iters_coarse`` (levels > 0) lock-step iterations of the 2x2 LK solve
+    with masked updates and a batch-wide convergence exit.
 
     Memory-system design (measured on TPU v5e): per level, each feature
     gathers ONE local tile of the next image around its incoming guess; the
@@ -219,6 +245,7 @@ def klt_track(
     d = (guess - pts_prev) / (2.0 ** (cfg.n_levels - 1))
 
     eig_ok = jnp.ones_like(valid_prev)
+    lvl0 = None  # level-0 (template, tiles, anchor) kept for the residual
 
     for level in range(cfg.n_levels - 1, -1, -1):
         scale = 2.0**level
@@ -262,6 +289,8 @@ def klt_track(
         tiles = im.extract_tiles(inx, anchor, tile_size)
         anchor_f = anchor.astype(d.dtype)
         track_ok = valid_prev & eig_ok
+        if level == 0:
+            lvl0 = (tpl, tiles, anchor_f)
 
         def step(dcur, *, tiles=tiles, anchor_f=anchor_f, p_prev=p_prev,
                  tpl=tpl, gxp=gxp, gyp=gyp, a11=a11, a12=a12, a22=a22,
@@ -285,9 +314,11 @@ def klt_track(
             live = jnp.where(track_ok[:, None], jnp.abs(dnew - dcur), 0.0)
             return dnew, jnp.max(live)
 
-        def cond(c):
+        iters_level = cfg.iters if level == 0 else cfg.iters_coarse
+
+        def cond(c, iters_level=iters_level):
             i, _, delta = c
-            return (i < cfg.iters) & (delta > cfg.converge_px)
+            return (i < iters_level) & (delta > cfg.converge_px)
 
         def body(c):
             i, dcur, _ = c
@@ -306,9 +337,18 @@ def klt_track(
 
     pts_next = pts_prev + d
 
-    final_patch = im.extract_patches_sep(img_next, pts_next, r)
-    tpl0 = im.extract_patches_sep(img_prev, pts_prev, r)
-    residual = jnp.mean(jnp.abs(final_patch - tpl0), axis=(-2, -1))
+    if lvl0 is not None:
+        # Residual check from the level-0 intermediates: level 0's template
+        # IS the bilinear patch of img_prev at pts_prev (interior of t_big),
+        # and the final displacement was clamped inside level 0's tile, so
+        # both full-resolution re-gathers of the old formulation are free.
+        tpl0, tiles0, anchor0 = lvl0
+        final_patch = im.sample_tiles(tiles0, pts_next - anchor0 - r, k)
+        residual = jnp.mean(jnp.abs(final_patch - tpl0), axis=(-2, -1))
+    else:
+        final_patch = im.extract_patches_sep(img_next, pts_next, r)
+        tpl0 = im.extract_patches_sep(img_prev, pts_prev, r)
+        residual = jnp.mean(jnp.abs(final_patch - tpl0), axis=(-2, -1))
 
     valid = (
         valid_prev
