@@ -38,7 +38,11 @@ class MatcherConfig(NamedTuple):
 
 
 class KLTConfig(NamedTuple):
-    n_levels: int = 5  # +-(2^levels * window) px range; 5 covers ~+-80 px
+    # 4 levels = OpenCV calcOpticalFlowPyrLK's default maxLevel=3; measured
+    # on the v5e headline bench: 147.7 fps at 4 levels vs ~138 at 5, with
+    # ATE far below the acceptance bar either way. Sequences with very large
+    # inter-frame flow (fast rotation, low fps) should raise this to 5.
+    n_levels: int = 4
     window_radius: int = 5
     iters: int = 10
     # Coarse levels (> 0) only need to land inside the next-finer level's
@@ -52,8 +56,8 @@ class KLTConfig(NamedTuple):
     max_residual: float = 12.0  # mean abs intensity error acceptance
     # Capture range is bounded by the per-level tile margin: total reach is
     # ~tile_margin * (2^n_levels - 1) px at full resolution (ADVICE r1); the
-    # default config reaches ~155 px.
-    max_displacement: float = 150.0
+    # default config reaches ~75 px (5 levels: ~155 px).
+    max_displacement: float = 75.0
     tile_margin: int = 5  # px of local search room per level (tile gather)
     converge_px: float = 0.03  # early exit when every live update is below
     # Fused Pallas level kernel vs XLA tile path. Measured on the v5e

@@ -160,6 +160,34 @@ def vo_sequence_scan(
     return chain_motions(motion), out
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def _vo_scan_packed(
+    prev_left, prev_right, cur_left, cur_right, keys, cfg, chunk
+):
+    """vo_sequence_scan with the per-frame outputs PACKED into one (B, 20)
+    f32 array: [motion 16, success, n_matches, n_inliers, mean_reproj_error].
+
+    One array -> one host fetch: each extra transfer through the tunnel/PCIe
+    costs fixed latency, and run_staged only needs these fields (the pose
+    chain is re-composed on the host in float64 anyway, so the device-side
+    chain is dead code XLA eliminates)."""
+    _, out = vo_sequence_scan(
+        prev_left, prev_right, cur_left, cur_right, keys, cfg, chunk
+    )
+    f32 = out.motion.dtype
+    b = out.motion.shape[0]
+    return jnp.concatenate(
+        [
+            out.motion.reshape(b, 16),
+            out.success[:, None].astype(f32),
+            out.n_matches[:, None].astype(f32),
+            out.n_inliers[:, None].astype(f32),
+            out.mean_reproj_error[:, None].astype(f32),
+        ],
+        axis=1,
+    )
+
+
 class OdometryPipeline:
     """Host-side frame loop with the reference's degraded-frame contract:
     a failed frame keeps the last pose and is skipped (SURVEY.md section 5,
@@ -246,25 +274,27 @@ class OdometryPipeline:
         idx_cur = idx_prev + 1
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, g * chunk)
-        _, out = vo_sequence_scan(
-            ls[idx_prev], rs[idx_prev], ls[idx_cur], rs[idx_cur], keys,
-            self.cfg, chunk,
-        )
-        host = jax.device_get(out)
+        packed = np.asarray(
+            _vo_scan_packed(
+                ls[idx_prev], rs[idx_prev], ls[idx_cur], rs[idx_cur], keys,
+                self.cfg, chunk,
+            )
+        )  # ONE transfer: (B, 20) [motion 16, success, n_matches, n_inl, err]
         pose = self.pose.copy()
         for i in range(b):
-            if bool(host.success[i]):
+            success = bool(packed[i, 16] > 0.5)
+            if success:
                 pose = pose @ np.linalg.inv(
-                    np.asarray(host.motion[i], np.float64)
+                    packed[i, :16].reshape(4, 4).astype(np.float64)
                 )
             self.trajectory.append(pose.copy())
             if self.logger is not None:
                 self.logger.log(
                     frame=self.frame_idx + i + 1,
-                    success=bool(host.success[i]),
-                    n_matches=int(host.n_matches[i]),
-                    n_inliers=int(host.n_inliers[i]),
-                    mean_reproj_error=float(host.mean_reproj_error[i]),
+                    success=success,
+                    n_matches=int(packed[i, 17]),
+                    n_inliers=int(packed[i, 18]),
+                    mean_reproj_error=float(packed[i, 19]),
                 )
         self.pose = pose
         self.frame_idx += n

@@ -71,19 +71,33 @@ def zncc_disparity_scores(
     tpl0 = tpl - jnp.mean(tpl, axis=(-2, -1), keepdims=True)
     tnorm = jnp.sqrt(jnp.maximum(jnp.sum(tpl0 * tpl0, axis=(-2, -1)), eps))
 
-    # shifted strip views: sh[:, i, c, t] = strip[:, i, t + c]; the window of
-    # disparity d starts at t = D-1-d
-    sh = jnp.stack(
-        [jax.lax.slice_in_dim(strip, c, c + d_max, axis=2) for c in range(k)],
-        axis=2,
-    )  # (N, K, K, D)
-
-    # cross term as a batched (K*K) x D matvec -> MXU; Sum(tpl0) = 0 makes
-    # the candidate-mean term vanish
-    corr = jnp.einsum("nkc,nkcd->nd", tpl0, sh, precision="highest")
-    s1 = jnp.einsum("nkcd->nd", sh)
-    s2 = jnp.einsum("nkcd,nkcd->nd", sh, sh, precision="highest")
+    # Window moments WITHOUT materializing the (N, K, K, D) shifted-view
+    # tensor (measured 0.58 ms/frame of HBM traffic in round 2's in-situ
+    # ablation, benchmarks/zncc_internals.json): column sums + cumsum
+    # differencing give every window's s1/s2 in O(K*S). The strip is centered
+    # at 128 first so the f32 cumsums keep ~1e-5 relative precision (ZNCC is
+    # shift-invariant: tpl0 is zero-mean and var ignores the offset).
+    strip_c = strip - 128.0
+    col1 = jnp.sum(strip_c, axis=1)  # (N, S)
+    col2 = jnp.sum(strip_c * strip_c, axis=1)
+    zero = jnp.zeros_like(col1[:, :1])
+    cs1 = jnp.concatenate([zero, jnp.cumsum(col1, axis=-1)], -1)
+    cs2 = jnp.concatenate([zero, jnp.cumsum(col2, axis=-1)], -1)
+    s1 = cs1[:, k : k + d_max] - cs1[:, :d_max]  # (N, t)
+    s2 = cs2[:, k : k + d_max] - cs2[:, :d_max]
     var_n = jnp.maximum(s2 - s1 * s1 / npix, eps)  # npix * var
+
+    # cross term per template column over strip slices (no big intermediate);
+    # Sum(tpl0) = 0 makes the candidate-mean term vanish
+    corr = sum(
+        jnp.einsum(
+            "ni,nit->nt",
+            tpl0[:, :, c],
+            jax.lax.slice_in_dim(strip_c, c, c + d_max, axis=2),
+            precision="highest",
+        )
+        for c in range(k)
+    )
 
     z = corr / (jnp.sqrt(var_n) * tnorm[:, None])  # (N, t)
     z = jnp.flip(z, axis=-1)  # t = D-1-d  ->  index by d
