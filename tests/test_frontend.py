@@ -166,6 +166,41 @@ class TestStereoMatch:
         disp = np.asarray(xy)[v, 0] - np.asarray(fr)[v, 0]
         assert np.median(np.abs(disp - d_gt)) < 1.0
 
+    def test_prior_narrow_search_matches_full(self):
+        """A prior-centered prior_width search must agree with the full-range
+        search whenever the prior is within prior_width/2 of the truth."""
+        d_gt = 23.0
+        left, right = self._make_pair(d_gt)
+        xy, _, valid = im.detect_features(left, max_features=96)
+        fr_full, _, v_full = fe.match_stereo(left, right, xy, valid)
+        # prior off by a few px, as a tracked prev-frame disparity would be
+        prior = jnp.full((xy.shape[0],), d_gt + 4.0)
+        fr_pri, _, v_pri = fe.match_stereo(left, right, xy, valid,
+                                           d_prior=prior)
+        both = np.asarray(v_full & v_pri)
+        assert both.sum() > 25
+        np.testing.assert_allclose(np.asarray(fr_pri)[both, 0],
+                                   np.asarray(fr_full)[both, 0], atol=0.26)
+
+    def test_prior_search_stays_in_window(self):
+        """Returned disparities must lie inside the searched prior window
+        (plus the 1-D subpixel polish's per-iteration reach): a wrong prior
+        yields in-window candidates — which downstream score/RANSAC gates
+        handle — never a disparity outside the window it claimed to search."""
+        d_gt = 40.0
+        left, right = self._make_pair(d_gt)
+        xy, _, valid = im.detect_features(left, max_features=96)
+        prior = jnp.full((xy.shape[0],), 8.0)  # wrong by 32 px
+        cfg = fe.MatcherConfig()
+        fr, _, v = fe.match_stereo(left, right, xy, valid, cfg, d_prior=prior)
+        disp = np.asarray(xy)[np.asarray(v), 0] - np.asarray(fr)[np.asarray(v), 0]
+        d0 = max(8 - cfg.prior_width // 2, 0)  # window start (clipped at 0)
+        polish = 0.5 + cfg.refine_iters  # subpixel parabola + 1-D LK reach
+        assert disp.size == 0 or (
+            np.all(disp >= d0 - polish)
+            and np.all(disp <= d0 + cfg.prior_width - 1 + polish)
+        )
+
     def test_row_preserved(self):
         left, right = self._make_pair()
         xy, _, valid = im.detect_features(left, max_features=64)

@@ -35,6 +35,7 @@ def zncc_disparity_scores(
     max_disparity: int,
     radius: int,
     eps: float = 1e-6,
+    d_offset: jax.Array | None = None,
 ) -> jax.Array:
     """(N, D) ZNCC score of each left feature against right candidates.
 
@@ -45,8 +46,13 @@ def zncc_disparity_scores(
         caller's parabola refinement over d).
       max_disparity: candidate disparities d in [0, max_disparity).
       radius: ZNCC window radius.
+      d_offset: optional (N,) int32 per-feature disparity prior offset:
+        candidate i scores true disparity ``d_offset + i``. Lets callers
+        with a prior (e.g. the previous frame's disparity of a tracked
+        feature) search a narrow window instead of the full range.
 
-    Returns (N, D) scores in [-1, 1]; out-of-image candidates get -inf.
+    Returns (N, D) scores in [-1, 1]; out-of-image (or negative-disparity)
+    candidates get -inf.
     """
     h, w = left.shape
     dtype = left.dtype
@@ -57,12 +63,15 @@ def zncc_disparity_scores(
 
     xi = jnp.clip(jnp.round(feats_xy[:, 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(feats_xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    if d_offset is None:
+        d_offset = jnp.zeros_like(xi)
 
     # one strip per feature covering every candidate window: true columns
-    # [xi - (D-1) - r, xi + r]; one block copy per feature (Pallas DMA on
-    # TPU, ops/pallas/gather.py) — out-of-bounds candidates are masked below
+    # [xi - d0 - (D-1) - r, xi - d0 + r]; one block copy per feature (Pallas
+    # DMA on TPU, ops/pallas/gather.py) — out-of-bounds candidates are
+    # masked below
     strip_w = d_max + 2 * r
-    strip_anchor = jnp.stack([xi - (d_max - 1) - r, yi - r], -1)
+    strip_anchor = jnp.stack([xi - d_offset - (d_max - 1) - r, yi - r], -1)
     strip = im.extract_tiles(right, strip_anchor, k, strip_w)  # (N, K, S)
 
     # left template patch at the same integer grid
@@ -103,8 +112,10 @@ def zncc_disparity_scores(
     z = jnp.flip(z, axis=-1)  # t = D-1-d  ->  index by d
 
     d_range = jnp.arange(d_max, dtype=jnp.int32)
+    d_abs = d_offset[:, None] + d_range[None, :]  # true disparity per slot
     ok = (
-        ((xi[:, None] - d_range[None, :] - r) >= 0)
+        (d_abs >= 0)
+        & ((xi[:, None] - d_abs - r) >= 0)
         & ((xi + r) < w)[:, None]
         & ((yi - r) >= 0)[:, None]
         & ((yi + r) < h)[:, None]

@@ -78,7 +78,11 @@ def _sharded_chain_body(inv_local: jax.Array, axis_name: str) -> jax.Array:
     def step(carry, t):
         return _compose(carry, t), carry
 
-    eye = jax.lax.pvary(jnp.eye(4, dtype=inv_local.dtype), axis_name)
+    eye = jnp.eye(4, dtype=inv_local.dtype)
+    if hasattr(jax.lax, "pcast"):  # pvary deprecated in favor of pcast
+        eye = jax.lax.pcast(eye, to="varying", axis_name=axis_name)
+    else:
+        eye = jax.lax.pvary(eye, axis_name)
     _, prefixes = jax.lax.scan(step, eye, totals)
     return _compose(prefixes[idx][None], local)
 
