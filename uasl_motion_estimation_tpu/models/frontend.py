@@ -238,8 +238,16 @@ def klt_track(
     valid_prev: jax.Array,
     cfg: KLTConfig = KLTConfig(),
     init_next: jax.Array | None = None,
+    pyr_prev: tuple[jax.Array, ...] | None = None,
+    pyr_next: tuple[jax.Array, ...] | None = None,
 ) -> KLTResult:
     """Pyramidal Lucas-Kanade tracking, all features in lock-step.
+
+    ``pyr_prev``/``pyr_next``: optional prebuilt Gaussian pyramids of
+    ``img_prev``/``img_next`` (level 0 = full res). Sequence pipelines build
+    each frame's pyramid ONCE and pass it to both steps that use the frame
+    (as next, then as prev) — inside a vmapped sequence step XLA cannot CSE
+    the duplicate builds across lanes.
 
     New scope (BASELINE config 2). Coarse-to-fine over a Gaussian pyramid;
     at each level every feature runs up to ``iters`` (level 0) or
@@ -268,8 +276,10 @@ def klt_track(
     use_fused = cfg.fused and pallas_gather_supported()
     npix = (2 * r + 1) ** 2
 
-    pyr_prev = im.build_pyramid(img_prev, cfg.n_levels)
-    pyr_next = im.build_pyramid(img_next, cfg.n_levels)
+    if pyr_prev is None:
+        pyr_prev = im.build_pyramid(img_prev, cfg.n_levels)
+    if pyr_next is None:
+        pyr_next = im.build_pyramid(img_next, cfg.n_levels)
 
     guess = pts_prev if init_next is None else init_next
     # displacement estimate at the coarsest level
@@ -412,6 +422,8 @@ def quad_match_frames(
     klt: KLTConfig = KLTConfig(),
     detect_kwargs: tuple = (),
     detector: str = "grid",
+    pyr_prev_left: tuple[jax.Array, ...] | None = None,
+    pyr_cur_left: tuple[jax.Array, ...] | None = None,
 ) -> QuadMatches:
     """Full quad-matching: detect in prev-left, ZNCC-match both stereo pairs,
     KLT-track left features forward (the front-end loop the reference leaves
@@ -419,6 +431,10 @@ def quad_match_frames(
 
     ``detector``: "grid" = bucketed best-per-cell GFTT (fast, spread);
     "topk" = global top-k GFTT with NMS (ops/image.py detect_features).
+
+    ``pyr_prev_left``/``pyr_cur_left``: optional prebuilt left-image KLT
+    pyramids (see klt_track) for sequence pipelines that share per-frame
+    artifacts between adjacent steps.
     """
     kw = dict(detect_kwargs)
     if detector == "grid":
@@ -431,7 +447,8 @@ def quad_match_frames(
             prev_left, max_features=max_features, **kw
         )
     f2, _, v1 = match_stereo(prev_left, prev_right, feats_l, v0, matcher)
-    tracked = klt_track(prev_left, cur_left, feats_l, v1, klt)
+    tracked = klt_track(prev_left, cur_left, feats_l, v1, klt,
+                        pyr_prev=pyr_prev_left, pyr_next=pyr_cur_left)
     # cur-pair match reuses each tracked feature's prev-pair disparity as a
     # search prior: 5x less cost-volume work and fewer aliasing mismatches
     # (inter-frame disparity change is bounded by the motion, not the range)

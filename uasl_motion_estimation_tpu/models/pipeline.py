@@ -91,6 +91,48 @@ def vo_step(
     )
 
 
+def _vo_step_shared(
+    prev_left: jax.Array,
+    prev_right: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    pyr_prev: tuple[jax.Array, ...],
+    pyr_cur: tuple[jax.Array, ...],
+    key: jax.Array,
+    cfg: PipelineConfig,
+) -> FrameOutput:
+    """vo_step over pre-converted f32 images and prebuilt left pyramids.
+
+    The sequence scan builds each frame's artifacts ONCE (uint8->f32 convert,
+    KLT pyramid) and feeds them to both steps that touch the frame; inside
+    the vmapped step XLA cannot CSE those duplicate builds across lanes."""
+    qm = fe.quad_match_frames(
+        prev_left,
+        prev_right,
+        cur_left,
+        cur_right,
+        max_features=cfg.max_features,
+        matcher=cfg.matcher,
+        klt=cfg.klt,
+        detect_kwargs=(
+            ("nms_radius", cfg.detect_nms_radius),
+            ("quality_level", cfg.detect_quality),
+        ),
+        detector=cfg.detector,
+        pyr_prev_left=pyr_prev,
+        pyr_cur_left=pyr_cur,
+    )
+    res: StereoVOResult = stereo_vo_solve(qm.uv, qm.valid, key, cfg.vo)
+    return FrameOutput(
+        motion=res.motion,
+        state=res.state,
+        success=res.success,
+        n_matches=jnp.sum(qm.valid),
+        n_inliers=res.n_inliers,
+        mean_reproj_error=res.mean_reproj_error,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def vo_sequence_step(
     prev_left: jax.Array,
@@ -161,19 +203,68 @@ def vo_sequence_scan(
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
-def _vo_scan_packed(
-    prev_left, prev_right, cur_left, cur_right, keys, cfg, chunk
-):
-    """vo_sequence_scan with the per-frame outputs PACKED into one (B, 20)
-    f32 array: [motion 16, success, n_matches, n_inliers, mean_reproj_error].
+def vo_sequence_scan_shared(
+    ls: jax.Array,
+    rs: jax.Array,
+    keys: jax.Array,
+    cfg: PipelineConfig,
+    chunk: int = 8,
+) -> FrameOutput:
+    """Whole staged sequence in ONE dispatch with per-frame artifact sharing.
+
+    Takes the full frame stacks (n, H, W) — uint8 wire format or f32 — and
+    derives the n-1 steps internally: each frame's f32 conversion and KLT
+    pyramid are computed ONCE (vmap over frames), then both adjacent steps
+    consume them. In vo_sequence_scan each step recomputed them for its own
+    prev AND cur frame (2x per frame; vmap lanes see different operands, so
+    XLA cannot CSE the duplicates). keys must have g*chunk entries for the
+    padded step count (see run_staged)."""
+    from ..ops import image as im
+
+    n = int(ls.shape[0])
+    b = n - 1
+    gc = int(keys.shape[0])
+    assert gc % chunk == 0 and gc >= b
+    g = gc // chunk
+
+    lf = ls.astype(jnp.float32)
+    rf = rs.astype(jnp.float32)
+    pyr = jax.vmap(lambda x: tuple(im.build_pyramid(x, cfg.klt.n_levels)))(lf)
+
+    idx_prev = np.clip(np.arange(gc), 0, b - 1)
+    idx_cur = idx_prev + 1
+    args = (
+        lf[idx_prev], rf[idx_prev], lf[idx_cur], rf[idx_cur],
+        tuple(p[idx_prev] for p in pyr), tuple(p[idx_cur] for p in pyr),
+        keys,
+    )
+    grouped = jax.tree.map(
+        lambda x: x.reshape((g, chunk) + x.shape[1:]), args
+    )
+
+    def one_chunk(a):
+        pl_, pr_, cl_, cr_, pp_, pc_, ks = a
+        return jax.vmap(
+            lambda p1, p2, c1, c2, pp, pc, k: _vo_step_shared(
+                p1, p2, c1, c2, pp, pc, k, cfg
+            )
+        )(pl_, pr_, cl_, cr_, pp_, pc_, ks)
+
+    out = jax.lax.map(one_chunk, grouped)
+    return jax.tree.map(lambda x: x.reshape((gc,) + x.shape[2:]), out)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def _vo_scan_packed(ls, rs, keys, cfg, chunk):
+    """vo_sequence_scan_shared with the per-frame outputs PACKED into one
+    (B, 20) f32 array: [motion 16, success, n_matches, n_inliers,
+    mean_reproj_error].
 
     One array -> one host fetch: each extra transfer through the tunnel/PCIe
     costs fixed latency, and run_staged only needs these fields (the pose
     chain is re-composed on the host in float64 anyway, so the device-side
     chain is dead code XLA eliminates)."""
-    _, out = vo_sequence_scan(
-        prev_left, prev_right, cur_left, cur_right, keys, cfg, chunk
-    )
+    out = vo_sequence_scan_shared(ls, rs, keys, cfg, chunk)
     f32 = out.motion.dtype
     b = out.motion.shape[0]
     return jnp.concatenate(
@@ -270,15 +361,10 @@ class OdometryPipeline:
         n = int(ls.shape[0])
         b = n - 1
         g = -(-b // chunk)
-        idx_prev = np.clip(np.arange(g * chunk), 0, b - 1)
-        idx_cur = idx_prev + 1
         self.key, sub = jax.random.split(self.key)
         keys = jax.random.split(sub, g * chunk)
         packed = np.asarray(
-            _vo_scan_packed(
-                ls[idx_prev], rs[idx_prev], ls[idx_cur], rs[idx_cur], keys,
-                self.cfg, chunk,
-            )
+            _vo_scan_packed(ls, rs, keys, self.cfg, chunk)
         )  # ONE transfer: (B, 20) [motion 16, success, n_matches, n_inl, err]
         pose = self.pose.copy()
         for i in range(b):
