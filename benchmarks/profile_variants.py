@@ -92,14 +92,10 @@ def main():
     feats = jnp.asarray(force(feats))
     valid = jnp.asarray(force(valid))
 
-    # --- KLT fused vs XLA (all kernel operands batched; mixed batching is
-    # unsupported by the vmap-of-pallas lowering) ---
-    klt_f = cfg.klt._replace(fused=True)
-    klt_x = cfg.klt._replace(fused=False)
-    run("klt fused-pallas", lambda p, n, f, v: fe.klt_track(
-        p, n, f, v, klt_f), dl0, dl1, feats, valid)
+    # --- KLT (XLA tile path; the fused Pallas kernel was deleted in round 3
+    # after measuring a 1.8x loss at every config) ---
     run("klt xla-tiles", lambda p, n, f, v: fe.klt_track(
-        p, n, f, v, klt_x), dl0, dl1, feats, valid)
+        p, n, f, v, cfg.klt), dl0, dl1, feats, valid)
 
     # --- stereo matching ---
     run("match_stereo zncc", lambda l, r, f, v: fe.match_stereo(
@@ -123,11 +119,6 @@ def main():
     for b in (8, 16, 32):
         run(f"vo_step full b{b}", lambda a, bb, c, d, k: vo_step(
             a, bb, c, d, k, cfg), dl0, dr0, dl1, dr1, key, batch=b)
-
-    # --- full step, XLA klt (fused kernel off) ---
-    cfg_x = cfg._replace(klt=klt_x)
-    run("vo_step full b16 xla-klt", lambda a, bb, c, d, k: vo_step(
-        a, bb, c, d, k, cfg_x), dl0, dr0, dl1, dr1, key, batch=16)
 
     out = REPO / "benchmarks" / "variants.json"
     out.write_text(json.dumps(results, indent=2))

@@ -9,6 +9,7 @@ from uasl_motion_estimation_tpu.ops import geometry as geo
 from uasl_motion_estimation_tpu.utils import metrics
 from uasl_motion_estimation_tpu.utils.synthetic import (
     CameraRig,
+    CorruptionConfig,
     SyntheticStereoSequence,
 )
 
@@ -89,6 +90,41 @@ def test_metrics_functions():
     t_err, r_err = metrics.rpe(poses, poses_gt)
     np.testing.assert_allclose(t_err, 0.1, atol=1e-9)
     np.testing.assert_allclose(r_err, 0.0, atol=1e-9)
+
+
+def test_corrupted_world_stresses_ransac():
+    """The corrupted world (photometric gain/bias/noise + moving objects +
+    occluder; VERDICT r2 missing #5) must actually exercise the robust
+    machinery: outliers get REJECTED (inlier ratio drops vs the clean world)
+    while the pose estimate survives (ATE stays bounded)."""
+    from uasl_motion_estimation_tpu.utils.metrics import MetricsLogger
+
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+
+    def run(corruption):
+        seq = SyntheticStereoSequence(
+            n_frames=10, rig=RIG, seed=4, corruption=corruption
+        )
+        log = MetricsLogger()
+        pipe = OdometryPipeline(cfg, seed=1, logger=log)
+        traj = pipe.run(seq.frame(i) for i in range(seq.n_frames))
+        recs = [r for r in log.records if "n_inliers" in r and r["n_matches"] > 0]
+        ratio = np.mean([r["n_inliers"] / r["n_matches"] for r in recs])
+        ate = metrics.ate_rmse(traj[:, :3, 3], seq.gt_positions())
+        return ratio, ate, np.mean([r["success"] for r in recs])
+
+    clean_ratio, clean_ate, _ = run(None)
+    cor_ratio, cor_ate, cor_success = run(CorruptionConfig())
+
+    # corruption creates real outlier populations for RANSAC to reject ...
+    assert cor_ratio < clean_ratio - 0.02, (cor_ratio, clean_ratio)
+    # ... and the robust solve still recovers the motion
+    assert cor_success == 1.0
+    gt = SyntheticStereoSequence(n_frames=10, rig=RIG, seed=4).gt_positions()
+    dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    assert cor_ate < 0.05 * dist, f"ATE {cor_ate:.3f} m over {dist:.1f} m"
 
 
 def test_run_sequence_single_dispatch(sequence):

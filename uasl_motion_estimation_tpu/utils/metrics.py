@@ -70,17 +70,23 @@ class MetricsLogger:
     """Per-frame JSONL metrics (inliers, reprojection error, track count, fps),
     replacing the reference's cout/cerr + log-file observability."""
 
-    def __init__(self, stream: IO | None = None, path: str | None = None):
+    def __init__(self, stream: IO | None = None, path: str | None = None,
+                 keep: bool = True):
         self._own = None
         if path is not None:
             self._own = open(path, "a")
         self.stream = stream or self._own
         self._t0 = time.perf_counter()
+        # in-memory record list (keep=False for unbounded runs)
+        self.records: list[dict] = []
+        self._keep = keep
 
     def log(self, **fields) -> dict:
         rec = {"t": round(time.perf_counter() - self._t0, 6), **fields}
         if self.stream is not None:
             self.stream.write(json.dumps(rec) + "\n")
+        if self._keep:
+            self.records.append(rec)
         return rec
 
     def close(self):

@@ -37,6 +37,46 @@ class _Plane(NamedTuple):
     tex_scale: float  # pixels per meter
 
 
+class _MovingQuad(NamedTuple):
+    """Finite textured rectangle with its own linear motion: rendered with
+    the same ray-cast depth test as the static planes, so its pixels are
+    photometrically-consistent features whose image motion contradicts the
+    camera egomotion — exactly the outlier population the reference's RANSAC
+    machinery exists to reject (StereoVisualOdometry.cpp:58-114)."""
+
+    point0: np.ndarray  # (3,) center at frame 0 (world)
+    velocity: np.ndarray  # (3,) meters/frame (world)
+    normal: np.ndarray  # (3,) unit
+    u_axis: np.ndarray  # (3,)
+    v_axis: np.ndarray  # (3,)
+    half_u: float  # half-extent along u_axis (meters)
+    half_v: float  # half-extent along v_axis (meters)
+    texture: np.ndarray  # (T, T) float32
+    tex_scale: float  # texels per meter
+
+
+class CorruptionConfig(NamedTuple):
+    """Robust-regime stressors for the synthetic world (VERDICT round 2,
+    missing #5): the noiseless plane world never exercised the outlier
+    rejection that is the reference's engineering core, so benchmarks on it
+    proved only the easy case.
+
+    All stressors are deterministic in (seed, frame index, camera) so the
+    same corrupted frames can be fed to both this framework and the compiled
+    reference binary for a fair ATE comparison.
+    """
+
+    # per-frame-per-camera photometric model: I' = gain * I + bias + noise
+    gain_std: float = 0.08  # multiplicative, lognormal-ish around 1
+    bias_std: float = 6.0  # additive intensity offset
+    noise_std: float = 4.0  # iid pixel noise (sensor noise)
+    # independently moving textured objects (VO outlier generators)
+    n_moving_objects: int = 2
+    # near-field occluder: a weakly-textured quad sweeping across the view,
+    # killing the tracks it covers (track dropout + birth churn)
+    occluder: bool = True
+
+
 def _smooth_texture(rng: np.ndarray, size: int, octaves: int = 4) -> np.ndarray:
     """Multi-octave value noise: textured at several scales so both GFTT and
     coarse pyramid levels of KLT have signal."""
@@ -97,9 +137,12 @@ class SyntheticStereoSequence:
         seed: int = 0,
         trajectory: np.ndarray | None = None,
         tex_size: int = 1024,
+        corruption: CorruptionConfig | None = None,
     ):
         self.rig = rig
         self.n_frames = n_frames
+        self.seed = seed
+        self.corruption = corruption
         self.poses = (
             trajectory if trajectory is not None else kitti_like_trajectory(n_frames)
         )
@@ -120,8 +163,76 @@ class SyntheticStereoSequence:
                    np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), mk(),
                    tex_size / big),
         ]
+        self.quads: list[_MovingQuad] = []
+        if corruption is not None:
+            self.quads = self._make_moving_quads(corruption, rng, tex_size)
 
-    def _render(self, T_c2w: np.ndarray) -> np.ndarray:
+    def _make_moving_quads(
+        self, c: CorruptionConfig, rng: np.random.Generator, tex_size: int
+    ) -> list[_MovingQuad]:
+        """Moving objects sized/placed for the default forward trajectory
+        (~0.8 m/frame): each stays in view for tens of frames, drifting
+        laterally so its feature tracks contradict the egomotion."""
+        quads = []
+        # texture scale chosen so the object is RESOLVABLE at its viewing
+        # distance (~20-50 m): aliased noise-texture would make its features
+        # unmatchable (they'd fail ZNCC instead of becoming coherent
+        # wrong-motion outliers, which is the stress this exists to create)
+        small = 60.0  # meters of object covered by one texture tile
+        for k in range(c.n_moving_objects):
+            side = -1.0 if k % 2 == 0 else 1.0
+            # car-sized quad facing the camera, spaced along the route,
+            # moving with ~0.5 m/frame forward + slow lateral drift
+            quads.append(_MovingQuad(
+                point0=np.array([side * 4.0, 0.7, 22.0 + 28.0 * k]),
+                velocity=np.array([-side * 0.06, 0.0, 0.55]),
+                normal=np.array([0.0, 0.0, -1.0]),
+                u_axis=np.array([1.0, 0.0, 0.0]),
+                v_axis=np.array([0.0, 1.0, 0.0]),
+                half_u=1.9,
+                half_v=0.85,
+                texture=_smooth_texture(rng, tex_size),
+                tex_scale=tex_size / small,
+            ))
+        if c.occluder:
+            # weakly-textured near-field quad, 2.6 m ahead of the (nominal)
+            # camera, sweeping laterally across the view: tracks under it die
+            # (dropout) and its own low-contrast surface starves detection
+            tex = _smooth_texture(rng, tex_size)
+            tex = 118.0 + 0.12 * (tex - float(tex.mean()))
+            sweep = 7.0 / max(self.n_frames, 1)  # full crossing per sequence
+            quads.append(_MovingQuad(
+                point0=np.array([-3.5, -0.2, 4.5]),
+                velocity=np.array([sweep, 0.0, 0.8]),
+                normal=np.array([0.0, 0.0, -1.0]),
+                u_axis=np.array([1.0, 0.0, 0.0]),
+                v_axis=np.array([0.0, 1.0, 0.0]),
+                half_u=0.5,
+                half_v=0.9,
+                texture=tex.astype(np.float32),
+                tex_scale=tex_size / 3.0,
+            ))
+        return quads
+
+    @staticmethod
+    def _sample_tex(tex: np.ndarray, tu: np.ndarray, tv: np.ndarray,
+                    scale: float) -> np.ndarray:
+        """Bilinear wrap-around texture lookup at (tu, tv) meters."""
+        ts = tex.shape[0]
+        tu = np.mod(tu * scale, ts - 1)
+        tv = np.mod(tv * scale, ts - 1)
+        u0 = tu.astype(np.int32)
+        v0 = tv.astype(np.int32)
+        fu_ = tu - u0
+        fv_ = tv - v0
+        return (
+            tex[v0, u0] * (1 - fv_) * (1 - fu_)
+            + tex[v0, u0 + 1] * (1 - fv_) * fu_
+            + tex[v0 + 1, u0] * fv_ * (1 - fu_)
+            + tex[v0 + 1, u0 + 1] * fv_ * fu_
+        )
+
+    def _render(self, T_c2w: np.ndarray, frame_idx: int = 0) -> np.ndarray:
         rig = self.rig
         h, w = rig.height, rig.width
         ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -143,31 +254,53 @@ class SyntheticStereoSequence:
                 continue
             t_safe = np.where(hit, t, 1.0)
             p = c + t_safe[..., None] * d_world  # world intersection
-            tu = ((p - pl.point) @ pl.u_axis) * pl.tex_scale
-            tv = ((p - pl.point) @ pl.v_axis) * pl.tex_scale
-            ts = pl.texture.shape[0]
-            tu, tv = np.mod(tu, ts - 1), np.mod(tv, ts - 1)
-            u0 = tu.astype(np.int32)
-            v0 = tv.astype(np.int32)
-            fu_ = tu - u0
-            fv_ = tv - v0
-            tex = pl.texture
-            val = (
-                tex[v0, u0] * (1 - fv_) * (1 - fu_)
-                + tex[v0, u0 + 1] * (1 - fv_) * fu_
-                + tex[v0 + 1, u0] * fv_ * (1 - fu_)
-                + tex[v0 + 1, u0 + 1] * fv_ * fu_
+            tu = (p - pl.point) @ pl.u_axis
+            tv = (p - pl.point) @ pl.v_axis
+            val = self._sample_tex(pl.texture, tu, tv, pl.tex_scale)
+            out = np.where(hit, val, out)
+            best_t = np.where(hit, t, best_t)
+        for q in self.quads:
+            center = q.point0 + frame_idx * q.velocity
+            denom = d_world @ q.normal
+            num = (center - c) @ q.normal
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = num / denom
+            t_safe = np.where(np.isfinite(t), t, 1.0)
+            p = c + t_safe[..., None] * d_world
+            tu = (p - center) @ q.u_axis
+            tv = (p - center) @ q.v_axis
+            hit = (
+                (t > 0.3) & (t < best_t) & (np.abs(denom) > 1e-9)
+                & (np.abs(tu) <= q.half_u) & (np.abs(tv) <= q.half_v)
             )
+            if not hit.any():
+                continue
+            val = self._sample_tex(q.texture, tu + q.half_u, tv + q.half_v,
+                                   q.tex_scale)
             out = np.where(hit, val, out)
             best_t = np.where(hit, t, best_t)
         return out
+
+    def _corrupt(self, img: np.ndarray, frame_idx: int, cam: int) -> np.ndarray:
+        """Per-frame-per-camera photometric corruption, deterministic in
+        (seed, frame, cam) so both frameworks see identical pixels."""
+        c = self.corruption
+        rng = np.random.default_rng([self.seed, frame_idx, cam, 0x9E3779B9])
+        gain = float(np.exp(rng.normal(0.0, c.gain_std)))
+        bias = float(rng.normal(0.0, c.bias_std))
+        noise = rng.normal(0.0, c.noise_std, img.shape).astype(np.float32)
+        return np.clip(gain * img + bias + noise, 0.0, 255.0)
 
     def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """(left, right) float32 (H, W) images for frame i."""
         T = self.poses[i]
         T_right = T.copy()
         T_right[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([self.rig.baseline, 0, 0])
-        return self._render(T), self._render(T_right)
+        left, right = self._render(T, i), self._render(T_right, i)
+        if self.corruption is not None:
+            left = self._corrupt(left, i, 0)
+            right = self._corrupt(right, i, 1)
+        return left, right
 
     def gt_positions(self) -> np.ndarray:
         return self.poses[:, :3, 3].copy()
