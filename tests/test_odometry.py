@@ -56,7 +56,10 @@ def test_tracks_persist_across_frames(sequence):
     assert all(r["n_matches"] > 30 for r in recs[1:]), recs
 
 
-def test_ba_refinement_runs_and_helps(sequence):
+def test_ba_refinement_improves_ate(sequence):
+    """BA must EARN its keep: strictly lower ATE than the VO-only chain on
+    the same frames (VERDICT r2 weak #1 — the old bound passed even when BA
+    made the trajectory 50% worse)."""
     seq, frames = sequence
     no_ba = OdometrySystem(make_cfg(), seed=1, use_ba=False)
     traj0 = no_ba.run(frames)
@@ -65,6 +68,4 @@ def test_ba_refinement_runs_and_helps(sequence):
     gt = seq.gt_positions()
     ate0 = metrics.ate_rmse(traj0[:, :3, 3], gt)
     ate1 = metrics.ate_rmse(traj1[:, :3, 3], gt)
-    # BA must not blow up the trajectory; on near-exact synthetic data the
-    # improvement can be marginal, so allow a small tolerance band
-    assert ate1 < max(1.5 * ate0, 0.02), (ate0, ate1)
+    assert ate1 < 0.95 * ate0, (ate0, ate1)

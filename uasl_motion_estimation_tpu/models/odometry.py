@@ -23,7 +23,7 @@ import numpy as np
 from ..ops import geometry as geo
 from ..ops import image as im
 from ..ops import lie
-from ..solvers.ba import BAConfig, BAProblem, ba_solve
+from ..solvers.ba import BAConfig, BAProblem, ba_solve, gate_tracks
 from ..utils.metrics import MetricsLogger
 from . import frontend as fe
 from . import tracks as tr
@@ -43,6 +43,9 @@ class OdometryConfig(NamedTuple):
     min_track_sep: float = 8.0  # new detections must be this far from tracks
     epipolar_tol: float = 1.5  # |v_l - v_r| rectified consistency
     ba_min_obs: int = 2
+    # pre-BA inlier gate vs the VO-chained init (solvers.ba.gate_tracks):
+    # coherent wrong-motion tracks (moving objects) must not reach BA
+    track_gate_px: float = 3.0
 
 
 class StepOutput(NamedTuple):
@@ -191,6 +194,9 @@ def ba_refine_window(
         baseline=float(p.baseline),
         n_fixed=cfg.n_fixed,
     )
+    keep = gate_tracks(window_cams, pts_world, obs, mask, ba_cfg,
+                       cfg.track_gate_px)
+    mask = mask & keep[None, :]
     result = ba_solve(
         BAProblem(cam=window_cams, pts=pts_world, obs=obs, mask=mask), ba_cfg
     )

@@ -267,6 +267,32 @@ def ba_solve(problem: BAProblem, cfg: BAConfig) -> BAResult:
     )
 
 
+def gate_tracks(
+    cam: jax.Array,  # (W, 6)
+    pts: jax.Array,  # (M, 3)
+    obs: jax.Array,  # (W, M, R)
+    mask: jax.Array,  # (W, M) bool
+    cfg: BAConfig,
+    gate_px: float,
+) -> jax.Array:
+    """Pre-BA inlier gate: (M,) keep-mask of tracks whose WORST per-component
+    reprojection residual against the initial cameras stays within gate_px.
+
+    The window-level analogue of the reference's RANSAC inlier gate
+    (computeInliers, StereoVisualOdometry.cpp:94-114): tracks on
+    independently moving objects are CONSISTENT with a wrong motion, so
+    Huber down-weighting alone lets them drag the window optimum.
+    """
+    proj = _project_stereo if cfg.baseline > 0 else _project_mono
+    pred = jax.vmap(
+        jax.vmap(lambda c, x: proj(c, x, cfg), in_axes=(None, 0)),
+        in_axes=(0, None),
+    )(cam, pts)  # (W, M, R)
+    err = jnp.max(jnp.abs(obs - pred), axis=-1)  # (W, M)
+    err = jnp.where(mask, err, 0.0)
+    return jnp.max(err, axis=0) <= gate_px
+
+
 def ba_camera_covariances(problem: BAProblem, cfg: BAConfig) -> jax.Array:
     """Per-camera 6x6 covariances from the reduced camera system's inverse
     (extract_covariance, BundleAdjuster.h:478-528). Call after ba_solve."""
