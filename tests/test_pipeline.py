@@ -127,6 +127,25 @@ def test_corrupted_world_stresses_ransac():
     assert cor_ate < 0.05 * dist, f"ATE {cor_ate:.3f} m over {dist:.1f} m"
 
 
+def test_run_streaming_overlapped(sequence):
+    """Streaming mode: generator input, chunked async uploads overlapping
+    the chunk scans, tail not a multiple of chunk — same trajectory quality
+    as the device-resident mode."""
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+    pipe = OdometryPipeline(cfg, seed=1)
+    # 12 frames = 11 steps with chunk 4: two full chunks + a 3-step tail
+    traj = pipe.run_streaming(
+        (sequence.frame(i) for i in range(sequence.n_frames)), chunk=4
+    )
+    assert traj.shape == (sequence.n_frames, 4, 4)
+    gt = sequence.gt_positions()
+    dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    ate = metrics.ate_rmse(traj[:, :3, 3], gt)
+    assert ate < 0.02 * dist, f"ATE {ate:.3f} m over {dist:.1f} m"
+
+
 def test_run_sequence_single_dispatch(sequence):
     """Single-dispatch mode must produce the same trajectory quality as the
     streaming loop (identical solves, chained on device)."""
