@@ -7,13 +7,14 @@ numeric core to OpenCV (``findEssentialMat`` 5-point RANSAC + ``recoverPose``,
 MonoVisualOdometry.cpp:20-29); here the whole stack is owned natively and
 batched:
 
-* hypotheses: H x 8-point samples solved AT ONCE — a batched 8x9 weighted
-  nullspace (eigh) plus the det-constraint pencil of the two smallest
-  nullspace vectors (up to 3 candidate E per sample, 7-point style). The
-  pencil keeps near-planar samples usable where the plain 8-point vector is
-  degenerate; Nister's exact 5-point needs 10th-degree complex root finding
-  (`eig`, unavailable on TPU) and buys nothing at H=200 batched samples, so
-  the pencil is the deliberate TPU-native design choice;
+* hypotheses: H minimal samples solved AT ONCE. Two seed modes:
+  ``solver="pencil8"`` — batched 8x9 weighted nullspace (eigh) plus the
+  det-constraint pencil of the two smallest nullspace vectors (up to 3
+  candidate E per sample, 7-point style; planar-safe); or
+  ``solver="5point"`` — the exact minimal essential solver
+  (ops/fivepoint.py: implicit-determinant root bracketing, no `eig`),
+  whose inlier^5 vs inlier^8 sample-success probability dominates at high
+  outlier rates (cv::findEssentialMat parity, MonoVisualOdometry.cpp:20);
 * scoring: Sampson distance of every match against every hypothesis as one
   (H*, N) tensor; argmax inlier count (RANSAC) or min median (LMEDS — both
   reference modes, MonoVisualOdometry.cpp:20);
@@ -33,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import geometry as geo
+from ..ops.fivepoint import fivepoint_candidates
 
 
 class MonoVOParams(NamedTuple):
@@ -54,6 +56,13 @@ class MonoVOParams(NamedTuple):
     # near-planar samples usable where the plain 8-point nullspace vector
     # alone is unstable (planar scenes make the linear system rank-deficient).
     pencil: bool = True
+    # Minimal-sample solver: "pencil8" (8-point sample; `pencil` selects
+    # plain vs pencil hypotheses) or "5point" — the exact Nister-style
+    # minimal solver (ops/fivepoint.py; reference parity:
+    # cv::findEssentialMat's 5-point, MonoVisualOdometry.cpp:20). A 5-point
+    # sample succeeds with probability inlier^5 vs inlier^8, the decisive
+    # factor at high outlier rates.
+    solver: str = "pencil8"
 
 
 class MonoVOResult(NamedTuple):
@@ -250,6 +259,20 @@ def mono_vo_solve(
         semantics, feature_types.h:91-103). N static; pad + mask.
       valid: (N,) bool.
     """
+    # Epipolar algebra runs on tiny matrices whose accuracy gates RANSAC
+    # scoring; the TPU's default f32 dot (bf16 passes) measurably degrades
+    # recovered rotations (0.6-3 deg vs <0.3 deg). Force full-precision
+    # matmuls here — at 8x9/3x3 sizes the cost is nil.
+    with jax.default_matmul_precision("highest"):
+        return _mono_vo_impl(matches, valid, key, params)
+
+
+def _mono_vo_impl(
+    matches: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    params: MonoVOParams,
+) -> MonoVOResult:
     p = params
     n = matches.shape[0]
     p1 = _normalize(matches[:, 0], p.intr)  # prev
@@ -257,31 +280,43 @@ def mono_vo_solve(
     # pixel threshold -> normalized units (approx via fu)
     thr2 = (p.inlier_threshold / p.intr.fu) ** 2
 
-    # --- RANSAC over 8-point samples ---
+    # --- RANSAC over minimal samples ---
     keys = jax.random.split(key, p.n_ransac)
+    k_sample = 5 if p.solver == "5point" else 8
 
     def sample(k):
         g = jax.random.gumbel(k, (n,))
         g = jnp.where(valid, g, -jnp.inf)
-        _, idx = jax.lax.top_k(g, 8)
+        _, idx = jax.lax.top_k(g, k_sample)
         return idx
 
-    samples = jax.vmap(sample)(keys)  # (H, 8)
+    samples = jax.vmap(sample)(keys)  # (H, k)
 
-    if p.pencil:
+    if p.solver == "5point":
+
+        def hyp(idx5):
+            return fivepoint_candidates(p1[idx5], p2[idx5])  # (10,3,3),(10,)
+
+        Es, hyp_ok = jax.vmap(hyp)(samples)
+        Es = Es.reshape(-1, 3, 3)  # (10H, 3, 3)
+        hyp_ok = hyp_ok.reshape(-1)
+    elif p.pencil:
 
         def hyp(idx8):
             return _pencil_candidates(p1[idx8], p2[idx8])  # (3, 3, 3)
 
         Es = jax.vmap(hyp)(samples).reshape(-1, 3, 3)  # (3H, 3, 3)
+        hyp_ok = jnp.ones(Es.shape[0], bool)
     else:
 
         def hyp(idx8):
             return _eight_point(p1[idx8], p2[idx8])
 
         Es = jax.vmap(hyp)(samples)  # (H, 3, 3)
+        hyp_ok = jnp.ones(Es.shape[0], bool)
 
     d2 = jax.vmap(lambda E: _sampson_sq(E, p1, p2))(Es)  # (H*, N)
+    d2 = jnp.where(hyp_ok[:, None], d2, jnp.inf)
     inl = (d2 < thr2) & valid[None, :]
     if p.robust == "lmeds":
         # least-median-of-squares (cv::LMEDS parity): pick the hypothesis

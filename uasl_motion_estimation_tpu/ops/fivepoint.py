@@ -46,16 +46,16 @@ _IDX_1 = _MONOS.index((0, 0))
 
 def _make_xy_nodes() -> tuple[np.ndarray, np.ndarray]:
     """10 fixed (x, y) evaluation nodes + the inverse Vandermonde over
-    _MONOS (float64 at build time; cond ~ 60, fine for f32 use)."""
-    pts = []
-    for j in range(5):
-        a = 2.0 * np.pi * j / 5.0 + 0.4
-        pts.append((np.cos(a), np.sin(a)))
-    for j in range(4):
-        a = 2.0 * np.pi * j / 4.0 + 1.1
-        pts.append((0.45 * np.cos(a), 0.45 * np.sin(a)))
-    pts.append((0.0, 0.0))
-    pts = np.asarray(pts)
+    _MONOS (float64 at build time; cond ~ 38, fine for f32 use).
+
+    Nodes are the degree-3 principal lattice {(i, j): i + j <= 3} centered
+    and scaled — the classic unisolvent set for bivariate interpolation of
+    total degree 3 (concentric-circle layouts are near-singular: all 10
+    points close to a single cubic curve)."""
+    s = 0.8
+    pts = np.asarray(
+        [(s * (i - 1.0), s * (j - 1.0)) for i in range(4) for j in range(4 - i)]
+    )
     V = np.stack(
         [[x**a * y**b for (a, b) in _MONOS] for x, y in pts]
     )  # (10 nodes, 10 monomials)
@@ -118,6 +118,14 @@ def fivepoint_candidates(
       (Es (_MAX_ROOTS, 3, 3), valid (_MAX_ROOTS,) bool) — one candidate per
       found real root of the degree-10 polynomial, masked.
     """
+    # Full-precision f32 dots: the implicit-determinant sign bracketing is
+    # meaningless under the TPU's default bf16-pass matmuls (tiny 10x10
+    # algebra; cost is nil).
+    with jax.default_matmul_precision("highest"):
+        return _fivepoint_impl(p1, p2)
+
+
+def _fivepoint_impl(p1, p2):
     dtype = p1.dtype
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
