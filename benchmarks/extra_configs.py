@@ -110,10 +110,37 @@ def bench_mi_matcher():
         reps=5, warmup=2,
     )
     n_scored = 256 * 64
+
+    # accuracy vs exact ground-truth disparity (VERDICT r2 item 6): px-error
+    # stats of accepted matches + precision/recall at 1 px. MI subpixel comes
+    # from the score parabola around the peak (the LK polish is intensity-
+    # only and stays off cross-modally); reference MI core:
+    # src/core/mutual_information.cpp:55-86.
+    gt_disp = seq.gt_disparity(0)
+    f_np = np.asarray(feats)
+    v_np = np.asarray(v)
+    meas = np.asarray(feats[:, 0] - fr[:, 0])  # measured disparity
+    ix = np.clip(np.round(f_np[:, 0]).astype(int), 0, gt_disp.shape[1] - 1)
+    iy = np.clip(np.round(f_np[:, 1]).astype(int), 0, gt_disp.shape[0] - 1)
+    gt = gt_disp[iy, ix]
+    v0_np = np.asarray(v0)
+    matchable = v0_np & (gt > cfg.min_disparity) & (gt < cfg.max_disparity - 1)
+    err = np.abs(meas - gt)
+    accepted = v_np & matchable
+    correct = accepted & (err < 1.0)
+    precision = float(correct.sum() / max(accepted.sum(), 1))
+    recall = float(correct.sum() / max(matchable.sum(), 1))
     result = {
         "metric": "MI cross-modal matcher pairs/s (256 feats x 64 disp)",
         "value": round(n_scored / dt, 0), "unit": "patch-pairs/s",
         "valid_matches": int(v.sum()),
+        "accuracy": {
+            "n_matchable": int(matchable.sum()),
+            "median_abs_px_err": round(float(np.median(err[accepted])), 3),
+            "p90_abs_px_err": round(float(np.percentile(err[accepted], 90)), 3),
+            "precision_at_1px": round(precision, 3),
+            "recall_at_1px": round(recall, 3),
+        },
     }
     print(json.dumps(result))
     return result
