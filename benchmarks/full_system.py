@@ -1,0 +1,145 @@
+"""Config-4 integrated-system benchmark (VERDICT r2 item 1).
+
+The measured full system = batched VO + window track building + batched
+dense-Schur BA every ``ba_rate`` frames (models/smoother.py), device-resident
+at the headline configuration (KITTI-size 376x1241, 500 features), on the
+CORRUPTED world (photometric gain/bias/noise + moving objects + occluder) so
+the BA refinement and robust gates are exercised where they matter.
+Reference semantics: the consumer loop of
+include/MotionEstimation/core/file_IO.h:69-73 (window_size/ba_rate cadence)
+with fixed-frame anchoring BundleAdjuster.h:452-453.
+
+Reports: full-system fps (one dispatch, device_get-fenced), VO-only fps on
+the same frames, ATE of both chains (BA must be lower), and the per-frame
+inlier-ratio trace. Writes benchmarks/full_system_r03.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "40"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "13"))
+WCHUNK = int(os.environ.get("BENCH_WCHUNK", "5"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from uasl_motion_estimation_tpu.models.pipeline import (
+        OdometryPipeline,
+        default_config,
+    )
+    from uasl_motion_estimation_tpu.models.smoother import (
+        SmootherConfig,
+        compose_trajectories,
+        full_system_scan,
+        window_starts,
+    )
+    from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
+    from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        CorruptionConfig,
+        SyntheticStereoSequence,
+    )
+
+    rig = CameraRig()  # KITTI-like 376x1241
+    seq = SyntheticStereoSequence(
+        n_frames=N_FRAMES, rig=rig, seed=0, corruption=CorruptionConfig()
+    )
+    frames = [seq.frame(i) for i in range(N_FRAMES)]
+    gt = seq.gt_positions()
+
+    pipe_cfg = default_config(
+        Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline
+    )
+    cfg = SmootherConfig(pipe=pipe_cfg)
+
+    # stage once (uint8 wire format; staging overlap is measured by
+    # benchmarks/streaming.py / bench.py fps_end_to_end)
+    pipe = OdometryPipeline(pipe_cfg, seed=0)
+    ls, rs = pipe.stage_frames(frames)
+    g = -(-(N_FRAMES - 1) // CHUNK)
+    keys = jax.random.split(jax.random.key(0), g * CHUNK)
+
+    # --- VO-only timing on the same frames ---
+    pipe.run_staged(ls, rs, chunk=CHUNK)  # warmup/compile
+    vo_times = []
+    traj_vo_only = None
+    for _ in range(REPS):
+        pipe.reset()
+        t0 = time.perf_counter()
+        traj_vo_only = pipe.run_staged(ls, rs, chunk=CHUNK)
+        vo_times.append(time.perf_counter() - t0)
+    fps_vo = (N_FRAMES - 1) / float(np.median(vo_times))
+
+    # --- full system (VO + window tracks + batched BA), one dispatch ---
+    t0 = time.perf_counter()
+    out = jax.device_get(
+        full_system_scan(ls, rs, keys, cfg, chunk=CHUNK, wchunk=WCHUNK)
+    )
+    t_compile = time.perf_counter() - t0
+    fs_times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = jax.device_get(
+            full_system_scan(ls, rs, keys, cfg, chunk=CHUNK, wchunk=WCHUNK)
+        )
+        fs_times.append(time.perf_counter() - t0)
+    fps_fs = (N_FRAMES - 1) / float(np.median(fs_times))
+
+    res = compose_trajectories(out, N_FRAMES, cfg)
+    ate_vo = float(ate_rmse(res.traj_vo[:, :3, 3], gt))
+    ate_ba = float(ate_rmse(res.traj_ba[:, :3, 3], gt))
+
+    packed = res.per_frame
+    n_matches = packed[:, 17]
+    n_inliers = packed[:, 18]
+    ratio = np.where(n_matches > 0, n_inliers / np.maximum(n_matches, 1), 0.0)
+
+    ref = json.loads((REPO / "benchmarks" / "reference_cpu.json").read_text())
+    k = len(window_starts(N_FRAMES, cfg.window, cfg.ba_rate))
+    result = {
+        "metric": "integrated system fps (VO + window tracks + batched BA "
+                  "every %d frames, KITTI-size corrupted world)" % cfg.ba_rate,
+        "value": round(fps_fs, 2),
+        "unit": "frames/s",
+        "vs_baseline_ref_vo_only": round(fps_fs / ref["fps"], 2),
+        "fps_vo_only_same_frames": round(fps_vo, 2),
+        "n_windows": k,
+        "window": cfg.window,
+        "ba_rate": cfg.ba_rate,
+        "ate_vo_m": round(ate_vo, 4),
+        "ate_ba_m": round(ate_ba, 4),
+        "ba_converged": int(np.sum(res.ba_converged)),
+        "mean_inlier_ratio": round(float(ratio.mean()), 3),
+        "min_inlier_ratio": round(float(ratio.min()), 3),
+        "compile_plus_first_run_s": round(t_compile, 1),
+        "note": "single dispatch, device_get fence per rep; the reference "
+                "baseline fps is its VO-only loop — its BA would only add "
+                "Ceres time on top",
+    }
+    print(json.dumps(result))
+    (REPO / "benchmarks" / "full_system_r03.json").write_text(
+        json.dumps(result, indent=1)
+    )
+    assert ate_ba < ate_vo, (ate_vo, ate_ba)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,15 @@ class SmootherConfig(NamedTuple):
     # alone lets them drag the window (measured: BA degraded ATE 0.22->0.34
     # on the corrupted world without this gate).
     track_gate_px: float = 3.0
+    # Install a window's refined motion j -> j+1 only when BOTH endpoint
+    # frames keep at least this many gated observations. Late window frames
+    # are observed only by tracks surviving the whole window; under heavy
+    # corruption a tail frame can drop to a handful of noisy tracks whose
+    # BA estimate is WORSE than VO (measured: 2-3 deg rotation spikes on
+    # exactly the tail motions at KITTI size). The degraded-frame contract
+    # (keep the VO motion) applies per-motion here, as the reference keeps
+    # its pose when a solve fails (MonoVisualOdometry.cpp:47-51 semantics).
+    min_frame_obs: int = 15
 
 
 class FullSystemOutput(NamedTuple):
@@ -77,6 +86,7 @@ class FullSystemOutput(NamedTuple):
     ba_cost: jax.Array  # (K,) final robust cost per window
     ba_converged: jax.Array  # (K,) bool
     n_track_obs: jax.Array  # (K,) BA observations actually used per window
+    n_frame_obs: jax.Array  # (K, W) gated observations per window frame
 
 
 def window_starts(n_frames: int, window: int, ba_rate: int) -> np.ndarray:
@@ -235,6 +245,7 @@ def full_system_scan(
         return FullSystemOutput(
             packed, jnp.zeros((0, cfg.window - 1, 4, 4), jnp.float32),
             z, z.astype(bool), jnp.zeros((0,), jnp.int32),
+            jnp.zeros((0, cfg.window), jnp.int32),
         )
     # pad the window count to a multiple of wchunk (repeat the last window)
     g = -(-k // wchunk)
@@ -267,10 +278,11 @@ def full_system_scan(
             jax.vmap(jax.vmap(_inv_se3))(Ts[:, :-1]),
         )
         n_obs = jnp.sum(problems.mask, axis=(1, 2)).astype(jnp.int32)
-        return ref, res.cost, res.converged, n_obs
+        n_frame = jnp.sum(problems.mask, axis=2).astype(jnp.int32)  # (k, W)
+        return ref, res.cost, res.converged, n_obs, n_frame
 
     groups = starts.reshape(g, wchunk)
-    ref, cost, conv, n_obs = jax.lax.map(solve_group, groups)
+    ref, cost, conv, n_obs, n_frame = jax.lax.map(solve_group, groups)
     unpad = lambda x: x.reshape((g * wchunk,) + x.shape[2:])[:k]
     return FullSystemOutput(
         packed=packed,
@@ -278,6 +290,7 @@ def full_system_scan(
         ba_cost=unpad(cost),
         ba_converged=unpad(conv),
         n_track_obs=unpad(n_obs),
+        n_frame_obs=unpad(n_frame),
     )
 
 
@@ -304,10 +317,16 @@ def compose_trajectories(
     motions[~success] = np.eye(4)
 
     refined = np.asarray(out.refined_motions, np.float64)
+    n_frame_obs = np.asarray(out.n_frame_obs)
     starts = window_starts(n_frames, cfg.window, cfg.ba_rate)
     motions_ba = motions.copy()
     for i, s in enumerate(starts):
-        motions_ba[s : s + cfg.window - 1] = refined[i]
+        for j in range(cfg.window - 1):
+            # per-motion degraded contract: both endpoint frames must keep
+            # enough gated observations, else the VO motion stands
+            if (n_frame_obs[i, j] >= cfg.min_frame_obs
+                    and n_frame_obs[i, j + 1] >= cfg.min_frame_obs):
+                motions_ba[s + j] = refined[i, j]
 
     def chain(ms):
         traj = np.empty((n_frames, 4, 4))

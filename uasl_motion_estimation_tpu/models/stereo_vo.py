@@ -237,6 +237,21 @@ def stereo_vo_solve(
     Returns a StereoVOResult; ``success`` mirrors the reference's boolean
     process() contract (enough matches, enough inliers, solver converged).
     """
+    # Full-precision f32 matmuls: the 6-DoF normal equations and rotation
+    # applications are tiny, and the TPU's default bf16-pass dot loses real
+    # pose accuracy at 1000-px-scale coordinates (same failure class as the
+    # BA solver — see solvers/ba.py ba_solve).
+    with jax.default_matmul_precision("highest"):
+        return _stereo_vo_impl(matches, valid, key, params, init)
+
+
+def _stereo_vo_impl(
+    matches: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    params: StereoVOParams,
+    init: jax.Array | None = None,
+) -> StereoVOResult:
     p = params
     n = matches.shape[0]
     dtype = matches.dtype

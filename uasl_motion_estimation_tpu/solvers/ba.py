@@ -216,6 +216,17 @@ def ba_solve(problem: BAProblem, cfg: BAConfig) -> BAResult:
 
     vmap over a leading window axis for window-parallel multi-device BA.
     """
+    # The normal-equation products (J^T J, Schur complement) are tiny
+    # matmuls whose conditioning carries the solve: under the TPU's default
+    # bf16-pass f32 dot the LM steps degrade to the point of non-convergence
+    # at KITTI pixel scales (measured: identical problem converges in 5
+    # iterations on CPU, never on TPU; 2-3 deg rotation errors). Force full
+    # f32 — the dims are far too small for MXU throughput to matter.
+    with jax.default_matmul_precision("highest"):
+        return _ba_solve_impl(problem, cfg)
+
+
+def _ba_solve_impl(problem: BAProblem, cfg: BAConfig) -> BAResult:
     mask = problem.mask.astype(problem.cam.dtype)
     pt_valid = jnp.sum(mask, axis=0) >= 2.0  # need >=2 views to triangulate
 
@@ -234,21 +245,31 @@ def ba_solve(problem: BAProblem, cfg: BAConfig) -> BAResult:
         r_new, _, _ = _residuals_jacobians(cam_new, pts_new, problem.obs, cfg)
         cost_new = _robust_cost(r_new, mask, cfg.huber_delta)
 
-        accept = ok & (cost_new < cost)
+        # freeze once converged: under vmap the while_loop runs until EVERY
+        # batch element is done, and without this gate a converged window
+        # kept taking micro-steps driven by its batch-mates' iteration count
+        # — sliding along the Huber outlier plateau to batch-size-dependent
+        # (and measured worse-vs-GT) solutions. Latching makes the batched
+        # solve element-wise identical to a solo solve.
+        accept = ok & (cost_new < cost) & ~s.done
         rel_decrease = (cost - cost_new) / jnp.maximum(cost, 1e-12)
         # a small decrease only signals convergence when damping is not
         # inflated (an accepted but heavily-damped step is just a short step)
-        done = accept & (rel_decrease < cfg.ftol) & (s.lam <= cfg.lambda0)
+        newly_done = accept & (rel_decrease < cfg.ftol) & (s.lam <= cfg.lambda0)
 
         lam = jnp.where(
-            accept,
-            jnp.maximum(s.lam * cfg.lambda_down, cfg.lambda_min),
-            jnp.minimum(s.lam * cfg.lambda_up, cfg.lambda_max),
+            s.done,
+            s.lam,
+            jnp.where(
+                accept,
+                jnp.maximum(s.lam * cfg.lambda_down, cfg.lambda_min),
+                jnp.minimum(s.lam * cfg.lambda_up, cfg.lambda_max),
+            ),
         )
         cam = jnp.where(accept, cam_new, s.cam)
         pts = jnp.where(accept, pts_new, s.pts)
         best = jnp.where(accept, cost_new, cost)
-        done = done | (s.lam >= cfg.lambda_max)
+        done = s.done | newly_done | (s.lam >= cfg.lambda_max)
         return _State(cam, pts, lam, best, s.k + 1, done)
 
     r0, _, _ = _residuals_jacobians(problem.cam, problem.pts, problem.obs, cfg)
@@ -284,10 +305,13 @@ def gate_tracks(
     Huber down-weighting alone lets them drag the window optimum.
     """
     proj = _project_stereo if cfg.baseline > 0 else _project_mono
-    pred = jax.vmap(
-        jax.vmap(lambda c, x: proj(c, x, cfg), in_axes=(None, 0)),
-        in_axes=(0, None),
-    )(cam, pts)  # (W, M, R)
+    # full-precision rotations: a bf16-pass R @ pt at ~1000-px image
+    # coordinates carries multi-px error, enough to misclassify at the gate
+    with jax.default_matmul_precision("highest"):
+        pred = jax.vmap(
+            jax.vmap(lambda c, x: proj(c, x, cfg), in_axes=(None, 0)),
+            in_axes=(0, None),
+        )(cam, pts)  # (W, M, R)
     err = jnp.max(jnp.abs(obs - pred), axis=-1)  # (W, M)
     err = jnp.where(mask, err, 0.0)
     return jnp.max(err, axis=0) <= gate_px
