@@ -1,4 +1,4 @@
-"""Config-4 integrated-system benchmark (VERDICT r2 item 1).
+"""Config-4 integrated-system benchmark (VERDICT r2 item 1, r3 items 1/5/9).
 
 The measured full system = batched VO + window track building + batched
 dense-Schur BA every ``ba_rate`` frames (models/smoother.py), device-resident
@@ -11,7 +11,11 @@ with fixed-frame anchoring BundleAdjuster.h:452-453.
 
 Reports: full-system fps (one dispatch, device_get-fenced), VO-only fps on
 the same frames, ATE of both chains (BA must be lower), and the per-frame
-inlier-ratio trace. Writes benchmarks/full_system_r03.json.
+inlier-ratio trace with the degraded-frame policy applied. The artifact is
+self-describing: ``pass_ate_gate`` / ``pass_fps_gate`` record whether the
+run met its own acceptance criteria (round-3 advisor: a failing run must
+not publish an artifact indistinguishable from a passing one). Writes
+benchmarks/full_system_r04.json.
 """
 
 from __future__ import annotations
@@ -31,6 +35,11 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", "40"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "13"))
 WCHUNK = int(os.environ.get("BENCH_WCHUNK", "5"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+# degraded-frame floor: frames solving on fewer inliers than this fraction
+# of their matches are flagged in the trace (the reference's contract is
+# "keep last pose" on failure, MonoVisualOdometry.cpp:47-51; the VO solver
+# already gates hard failure — this floor makes near-failures observable)
+INLIER_FLOOR = float(os.environ.get("BENCH_INLIER_FLOOR", "0.15"))
 
 
 def main():
@@ -38,7 +47,6 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
     from uasl_motion_estimation_tpu.models.pipeline import (
         OdometryPipeline,
@@ -80,11 +88,10 @@ def main():
     # --- VO-only timing on the same frames ---
     pipe.run_staged(ls, rs, chunk=CHUNK)  # warmup/compile
     vo_times = []
-    traj_vo_only = None
     for _ in range(REPS):
         pipe.reset()
         t0 = time.perf_counter()
-        traj_vo_only = pipe.run_staged(ls, rs, chunk=CHUNK)
+        pipe.run_staged(ls, rs, chunk=CHUNK)
         vo_times.append(time.perf_counter() - t0)
     fps_vo = (N_FRAMES - 1) / float(np.median(vo_times))
 
@@ -111,34 +118,51 @@ def main():
     n_matches = packed[:, 17]
     n_inliers = packed[:, 18]
     ratio = np.where(n_matches > 0, n_inliers / np.maximum(n_matches, 1), 0.0)
+    degraded = ratio < INLIER_FLOOR  # near-failure frames (VERDICT r3 item 9)
+
+    # which BA windows contain a degraded frame (to correlate with installs)
+    starts = window_starts(N_FRAMES, cfg.window, cfg.ba_rate)
+    win_has_degraded = [
+        bool(degraded[s:s + cfg.window - 1].any()) for s in starts
+    ]
 
     ref = json.loads((REPO / "benchmarks" / "reference_cpu.json").read_text())
-    k = len(window_starts(N_FRAMES, cfg.window, cfg.ba_rate))
+    vs_ref = fps_fs / ref["fps"]
     result = {
         "metric": "integrated system fps (VO + window tracks + batched BA "
                   "every %d frames, KITTI-size corrupted world)" % cfg.ba_rate,
         "value": round(fps_fs, 2),
         "unit": "frames/s",
-        "vs_baseline_ref_vo_only": round(fps_fs / ref["fps"], 2),
+        "vs_baseline_ref_vo_only": round(vs_ref, 2),
         "fps_vo_only_same_frames": round(fps_vo, 2),
-        "n_windows": k,
+        "n_windows": len(starts),
         "window": cfg.window,
         "ba_rate": cfg.ba_rate,
         "ate_vo_m": round(ate_vo, 4),
         "ate_ba_m": round(ate_ba, 4),
+        "pass_ate_gate": bool(ate_ba < ate_vo),
+        "pass_fps_gate": bool(vs_ref >= 10.0),
         "ba_converged": int(np.sum(res.ba_converged)),
         "mean_inlier_ratio": round(float(ratio.mean()), 3),
         "min_inlier_ratio": round(float(ratio.min()), 3),
+        "inlier_ratio_trace": [round(float(r), 3) for r in ratio],
+        "degraded_frame_policy": "frames with inlier ratio < %.2f are "
+            "flagged; the VO solver independently gates hard failures to "
+            "identity motion (pipeline.py), and BA windows gate per-motion "
+            "installs on min_frame_obs" % INLIER_FLOOR,
+        "degraded_frames": [int(i) for i in np.nonzero(degraded)[0]],
+        "windows_containing_degraded_frame": win_has_degraded,
         "compile_plus_first_run_s": round(t_compile, 1),
         "note": "single dispatch, device_get fence per rep; the reference "
                 "baseline fps is its VO-only loop — its BA would only add "
                 "Ceres time on top",
     }
     print(json.dumps(result))
-    (REPO / "benchmarks" / "full_system_r03.json").write_text(
+    (REPO / "benchmarks" / "full_system_r04.json").write_text(
         json.dumps(result, indent=1)
     )
     assert ate_ba < ate_vo, (ate_vo, ate_ba)
+    assert vs_ref >= 10.0, vs_ref
 
 
 if __name__ == "__main__":

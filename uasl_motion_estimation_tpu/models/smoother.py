@@ -78,6 +78,19 @@ class SmootherConfig(NamedTuple):
     # (keep the VO motion) applies per-motion here, as the reference keeps
     # its pose when a solve fails (MonoVisualOdometry.cpp:47-51 semantics).
     min_frame_obs: int = 15
+    # How window tracks are extended frame-to-frame:
+    #   "chain": classic frame-(j-1)->j KLT (the OpenCV consumer-loop
+    #     behavior the reference assumes). Drift random-walks with window
+    #     position (median 2.5 px by the 5th frame on the corrupted
+    #     KITTI-size world) but is near-INDEPENDENT across tracks, so BA
+    #     averages it away.
+    #   "template": KLT against the track's BIRTH template (window frame 0)
+    #     initialized from the chained position. Measured WORSE end-to-end
+    #     (ATE-after-BA 0.092 vs 0.056 m at the bench config): forward
+    #     motion scales the scene ~4%/frame, and translation-only LK against
+    #     a stale template turns that into a drift that is CORRELATED across
+    #     tracks — exactly the error component BA cannot average away.
+    track_mode: str = "chain"
 
 
 class FullSystemOutput(NamedTuple):
@@ -137,18 +150,30 @@ def _build_window_tracks(
     mask_slices = [valid]
     pts = feats
     disp = feats[..., 0] - f_right[..., 0]
-    pyr_prev = jax.vmap(lambda x: tuple(im.build_pyramid(x, p.klt.n_levels)))(l0)
+    pyr0 = jax.vmap(lambda x: tuple(im.build_pyramid(x, p.klt.n_levels)))(l0)
+    pyr_prev = pyr0
 
     for j in range(1, W):
         lj, rj = lf[starts + j], rf[starts + j]
         pyr_cur = jax.vmap(
             lambda x: tuple(im.build_pyramid(x, p.klt.n_levels))
         )(lj)
-        tracked = jax.vmap(
-            lambda ip, inx, pt, v, pp, pc: fe.klt_track(
-                ip, inx, pt, v, p.klt, pyr_prev=pp, pyr_next=pc
-            )
-        )(l0, lj, pts, valid, pyr_prev, pyr_cur)
+        if cfg.track_mode == "template":
+            # anchor on the birth template; the chained position from the
+            # previous frame seeds the solve so only the incremental motion
+            # must converge (see SmootherConfig.track_mode)
+            tracked = jax.vmap(
+                lambda ip, inx, f0, v, guess, pp, pc: fe.klt_track(
+                    ip, inx, f0, v, p.klt, init_next=guess,
+                    pyr_prev=pp, pyr_next=pc
+                )
+            )(l0, lj, feats, valid, pts, pyr0, pyr_cur)
+        else:
+            tracked = jax.vmap(
+                lambda ip, inx, pt, v, pp, pc: fe.klt_track(
+                    ip, inx, pt, v, p.klt, pyr_prev=pp, pyr_next=pc
+                )
+            )(l0, lj, pts, valid, pyr_prev, pyr_cur)
         fr, _, sv = jax.vmap(
             lambda a, b, f, v, d: fe.match_stereo(
                 a, b, f, v, p.matcher, d_prior=d
@@ -197,14 +222,19 @@ def _init_window_problem(
     (project3D semantics, StereoVisualOdometry.cpp:22-32)."""
     W = cfg.window
     p = cfg.pipe.vo
-    cams = [jnp.zeros(6, motions.dtype)]
-    T = jnp.eye(4, dtype=motions.dtype)
-    for j in range(1, W):
-        T = jax.lax.dynamic_index_in_dim(
-            motions, start + j - 1, axis=0, keepdims=False
-        ) @ T
-        cams.append(_cam6_from_T(T))
-    cam0 = jnp.stack(cams)  # (W, 6) world(=frame0)->cam
+    # fenced: chaining up to W-1 4x4 products at the TPU's default bf16-pass
+    # precision puts ~0.01 rad of noise on the init rotations — ~7 px of
+    # systematic reprojection shift at KITTI focal lengths, which the 3-px
+    # track gate below then turns into mass misclassification
+    with jax.default_matmul_precision("highest"):
+        cams = [jnp.zeros(6, motions.dtype)]
+        T = jnp.eye(4, dtype=motions.dtype)
+        for j in range(1, W):
+            T = jax.lax.dynamic_index_in_dim(
+                motions, start + j - 1, axis=0, keepdims=False
+            ) @ T
+            cams.append(_cam6_from_T(T))
+        cam0 = jnp.stack(cams)  # (W, 6) world(=frame0)->cam
     pts = geo.triangulate_disparity(
         obs[0, :, 0:2], obs[0, :, 2:4], p.intr1, p.intr2, p.baseline
     )  # (M, 3) in frame-0 camera coords == gauge world
@@ -270,13 +300,20 @@ def full_system_scan(
             lambda s, o, m: _init_window_problem(motions, s, o, m, cfg)
         )(start_group, obs, mask)
         res = jax.vmap(lambda pr: ba_solve(pr, ba_cfg))(problems)
-        # refined window motions m_j = T_{j+1} @ inv(T_j)
-        Ts = jax.vmap(jax.vmap(_T_from_cam6))(res.cam)  # (wchunk, W, 4, 4)
-        ref = jnp.einsum(
-            "kwij,kwjl->kwil",
-            Ts[:, 1:],
-            jax.vmap(jax.vmap(_inv_se3))(Ts[:, :-1]),
-        )
+        # refined window motions m_j = T_{j+1} @ inv(T_j). MUST be fenced to
+        # full f32: under the TPU's default bf16-pass matmul these 4x4
+        # products pick up ~4e-3 entry noise, i.e. ~0.1-0.2 deg of spurious
+        # rotation PER MOTION on an exactly-converged BA solution — chained
+        # over a sequence that random walk alone degraded ATE 0.064->0.129 m
+        # at the round-3 bench config while the solver itself was fine
+        # (root-caused round 4: batched-vs-solo cam diff was 1e-6).
+        with jax.default_matmul_precision("highest"):
+            Ts = jax.vmap(jax.vmap(_T_from_cam6))(res.cam)  # (wchunk,W,4,4)
+            ref = jnp.einsum(
+                "kwij,kwjl->kwil",
+                Ts[:, 1:],
+                jax.vmap(jax.vmap(_inv_se3))(Ts[:, :-1]),
+            )
         n_obs = jnp.sum(problems.mask, axis=(1, 2)).astype(jnp.int32)
         n_frame = jnp.sum(problems.mask, axis=2).astype(jnp.int32)  # (k, W)
         return ref, res.cost, res.converged, n_obs, n_frame

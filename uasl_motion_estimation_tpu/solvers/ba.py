@@ -95,6 +95,16 @@ def _project_mono(cam6: jax.Array, pt3: jax.Array, cfg: BAConfig) -> jax.Array:
     )
 
 
+def _residuals(cam, pts, obs, cfg: BAConfig):
+    """Per-observation residuals r (W,M,R) only — ~10x cheaper than the
+    jacobian path (jacfwd pushes 9 tangents through the projection), so the
+    step-acceptance cost evaluation in the LM body must use this."""
+    proj = _project_stereo if cfg.baseline > 0 else _project_mono
+    one = lambda cam6, pt3, ob: ob - proj(cam6, pt3, cfg)
+    f = jax.vmap(jax.vmap(one, in_axes=(None, 0, 0)), in_axes=(0, None, 0))
+    return f(cam, pts, obs)
+
+
 def _residuals_jacobians(cam, pts, obs, cfg: BAConfig):
     """Per-observation residuals r (W,M,R) and jacobians J_c (W,M,R,6),
     J_p (W,M,R,3) via forward-mode autodiff."""
@@ -242,7 +252,7 @@ def _ba_solve_impl(problem: BAProblem, cfg: BAConfig) -> BAResult:
 
         cam_new = s.cam + dcam
         pts_new = _clamp_depth(cam_new, s.pts + dpts, cfg)
-        r_new, _, _ = _residuals_jacobians(cam_new, pts_new, problem.obs, cfg)
+        r_new = _residuals(cam_new, pts_new, problem.obs, cfg)
         cost_new = _robust_cost(r_new, mask, cfg.huber_delta)
 
         # freeze once converged: under vmap the while_loop runs until EVERY
@@ -270,9 +280,14 @@ def _ba_solve_impl(problem: BAProblem, cfg: BAConfig) -> BAResult:
         pts = jnp.where(accept, pts_new, s.pts)
         best = jnp.where(accept, cost_new, cost)
         done = s.done | newly_done | (s.lam >= cfg.lambda_max)
-        return _State(cam, pts, lam, best, s.k + 1, done)
+        # don't count iterations a done-latched element sat out: under vmap
+        # the loop runs to the slowest batch-mate, and an unconditional
+        # increment would report the batch-wide count as this element's
+        # n_iter (round-3 advisor finding)
+        k = jnp.where(s.done, s.k, s.k + 1)
+        return _State(cam, pts, lam, best, k, done)
 
-    r0, _, _ = _residuals_jacobians(problem.cam, problem.pts, problem.obs, cfg)
+    r0 = _residuals(problem.cam, problem.pts, problem.obs, cfg)
     s0 = _State(
         cam=problem.cam,
         pts=problem.pts,
