@@ -8,7 +8,7 @@ utils/metrics.ate_rmse. The per-frame inlier-ratio trace proves RANSAC is
 doing real rejection work (reference's core mechanism:
 src/vo/StereoVisualOdometry.cpp:58-114).
 
-Writes benchmarks/corrupted_r03.json; the reference measurement is cached in
+Writes benchmarks/corrupted_r04.json; the reference measurement is cached in
 benchmarks/reference_cpu_corrupted.json (re-measure with BENCH_REMEASURE=1).
 NOTE: the host has 2 CPUs — the reference run and the TPU timing are
 serialized so neither starves the other.
@@ -135,10 +135,17 @@ def measure_tpu():
         traj = pipe.run_staged(ls, rs, chunk=CHUNK)
         times.append(time.perf_counter() - t0)
     fps = (N_FRAMES - 1) / float(np.median(times))
-    ate = float(ate_rmse(traj[:, :3, 3], seq.gt_positions()))
+    gt = seq.gt_positions()
+    ate = float(ate_rmse(traj[:, :3, 3], gt))
+    # ATE is trajectory-length dependent (round-3 advisor): the
+    # reference-vs-TPU accuracy comparison must use the SAME first
+    # N_REF_FRAMES the cached reference run covers
+    ate_ref_span = float(
+        ate_rmse(traj[:N_REF_FRAMES, :3, 3], gt[:N_REF_FRAMES])
+    )
     recs = [r for r in log.records if "n_inliers" in r and r["n_matches"] > 0]
     ratios = [r["n_inliers"] / r["n_matches"] for r in recs]
-    return fps, ate, ratios, [int(r["n_inliers"]) for r in recs]
+    return fps, ate, ate_ref_span, ratios, [int(r["n_inliers"]) for r in recs]
 
 
 def main():
@@ -146,7 +153,7 @@ def main():
         ref = measure_reference()
     else:
         ref = json.loads(REF_CACHE.read_text())
-    fps, ate, ratios, inliers = measure_tpu()
+    fps, ate, ate_ref_span, ratios, inliers = measure_tpu()
     result = {
         "metric": "stereo VO frames/s/chip, corrupted world (photometric "
                   "gain/bias/noise + 2 moving objects + occluder)",
@@ -154,18 +161,25 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / ref["fps"], 2),
         "ate_m": round(ate, 4),
+        "n_frames": N_FRAMES,
+        "ate_m_ref_span": round(ate_ref_span, 4),
         "ref_fps": round(ref["fps"], 3),
         "ref_ate_m": round(ref["ate"], 4),
         "ref_frames": ref["n_frames"],
         "inlier_ratio_mean": round(float(np.mean(ratios)), 3),
         "inlier_ratio_min": round(float(np.min(ratios)), 3),
         "inlier_trace": [round(float(x), 3) for x in ratios],
-        "note": "same deterministic corrupted pixels fed to both; inlier "
-                "ratio ~0.9 clean drops to ~0.6-0.7 here — RANSAC is doing "
-                "real rejection",
+        "note": "same deterministic corrupted pixels fed to both. ate_m "
+                "covers all n_frames; the like-for-like accuracy row vs the "
+                "reference is ate_m_ref_span vs ref_ate_m over the same "
+                "first ref_frames frames (ATE is length-dependent; the "
+                "reference runs fewer frames because its CPU loop is ~2 "
+                "min/frame at this resolution). fps ratio compares "
+                "steady-state per-frame throughput, which is "
+                "length-independent.",
     }
     print(json.dumps(result))
-    (REPO / "benchmarks" / "corrupted_r03.json").write_text(
+    (REPO / "benchmarks" / "corrupted_r04.json").write_text(
         json.dumps(result, indent=1)
     )
 

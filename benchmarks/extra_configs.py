@@ -184,6 +184,73 @@ def bench_ba_windows():
     return result
 
 
+def bench_mono():
+    """Mono VO pipeline on-device: the 5-point default vs the pencil8
+    alternative (VERDICT r3 item 6 — the reference's default IS the 5-point,
+    src/vo/MonoVisualOdometry.cpp:20; this entry is its TPU
+    throughput/compile validation in a pipeline context)."""
+    jax = _setup_jax()
+    import numpy as np
+
+    from uasl_motion_estimation_tpu.models.mono_pipeline import (
+        MonoOdometryPipeline,
+        MonoPipelineConfig,
+    )
+    from uasl_motion_estimation_tpu.models.mono_vo import MonoVOParams
+    from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
+    from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        SyntheticStereoSequence,
+    )
+
+    rig = CameraRig(fu=458.65, fv=457.3, cu=367.2, cv=248.4, baseline=0.11,
+                    height=480, width=752)
+    n = int(os.environ.get("BENCH_MONO_FRAMES", "13"))
+    seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=3)
+    frames = [seq.frame(i)[0] for i in range(n)]  # left camera only
+    gt = seq.gt_positions()
+
+    out = {}
+    for solver in ("5point", "pencil8"):
+        cfg = MonoPipelineConfig(
+            vo=MonoVOParams(
+                intr=Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv),
+                inlier_threshold=2.0,
+                solver=solver,
+            ),
+            max_features=256,
+        )
+        pipe = MonoOdometryPipeline(cfg, seed=0, initial_speed=0.8)
+        t0 = time.perf_counter()
+        pipe.run(frames)  # warm/compile
+        t_compile = time.perf_counter() - t0
+        times = []
+        traj = None
+        for _ in range(3):
+            pipe.reset()
+            t0 = time.perf_counter()
+            traj = pipe.run(frames)
+            times.append(time.perf_counter() - t0)
+        fps = (n - 1) / float(np.median(times))
+        out[solver] = {
+            "fps": round(fps, 2),
+            "ate_m": round(
+                float(ate_rmse(traj[:, :3, 3], gt[:, :3])), 4),
+            "compile_plus_first_run_s": round(t_compile, 1),
+        }
+    result = {
+        "metric": "mono VO pipeline frames/s (752x480, 256 feats, "
+                  "5-point default vs pencil8)",
+        "value": out["5point"]["fps"], "unit": "frames/s",
+        "per_solver": out,
+        "note": "per-frame host-loop dispatch (mono pipeline); the 5-point "
+                "is the MonoVOParams default as in the reference",
+    }
+    print(json.dumps(result))
+    return result
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     collected = {}
@@ -193,6 +260,8 @@ if __name__ == "__main__":
         collected["config3_mi_matcher"] = bench_mi_matcher()
     if which in ("4", "all"):
         collected["config4_ba_windows"] = bench_ba_windows()
+    if which in ("m", "mono", "all"):
+        collected["config_mono_vo"] = bench_mono()
     if which == "all":
         out = REPO / "benchmarks" / "results_extra_configs.json"
         out.write_text(json.dumps(collected, indent=2))

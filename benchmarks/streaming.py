@@ -100,10 +100,15 @@ def main():
     pipe.reset()
     pipe.run_streaming(iter(frames[: CHUNK + 2]), chunk=CHUNK)
     pipe.reset()
+    stats: dict = {}
     t0 = time.perf_counter()
-    traj_stream = pipe.run_streaming(iter(frames), chunk=CHUNK, prefetch=2)
+    traj_stream = pipe.run_streaming(iter(frames), chunk=CHUNK, prefetch=2,
+                                     stats=stats)
     t_stream = time.perf_counter() - t0
     fps_stream = (N - 1) / t_stream
+    upload_s = float(np.sum(stats["upload_s"]))
+    upload_mb = float(np.sum(stats["upload_bytes"])) / 1e6
+    upload_mb_s = upload_mb / max(upload_s, 1e-9)
 
     ate_dev = float(ate_rmse(traj_dev[:, :3, 3], seq.gt_positions()))
     ate_stream = float(ate_rmse(traj_stream[:, :3, 3], seq.gt_positions()))
@@ -124,13 +129,21 @@ def main():
         "ate_m_device": round(ate_dev, 4),
         "n_frames": N,
         "render_s": round(render_s, 1),
+        "upload_s_measured": round(upload_s, 3),
+        "upload_mb": round(upload_mb, 1),
+        "upload_mb_s_measured": round(upload_mb_s, 1),
         "peak_streaming_device_mb_est": round(staged_mb + pyr_mb + 1, 1),
         "device": str(jax.devices()[0].device_kind),
         "note": "fps_streaming is ONE wall-clock run including all "
-                "host->device transfers; memory is chunk-bounded so "
+                "host->device transfers (upload_* measured in-run per chunk "
+                "inside the uploader thread); memory is chunk-bounded so "
                 "sequence length is unbounded",
     }
     print(json.dumps(result))
+    suffix = "_tpu" if os.environ.get("BENCH_STREAM_TPU") == "1" else ""
+    (REPO / "benchmarks" / f"streaming{suffix}_r04.json").write_text(
+        json.dumps(result, indent=1)
+    )
     return result
 
 

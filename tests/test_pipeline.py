@@ -160,3 +160,31 @@ def test_run_sequence_single_dispatch(sequence):
     dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
     ate = metrics.ate_rmse(traj[:, :3, 3], gt)
     assert ate < 0.02 * dist, f"ATE {ate:.3f} m over {dist:.1f} m"
+
+
+def test_streaming_matches_staged(sequence):
+    """Streaming and staged engines must agree motion-for-motion: RANSAC
+    keys derive from global step indices (fold_in), so both solve identical
+    per-step problems; only chunk-grouping (and therefore XLA fusion
+    context) differs, which bounds any residual difference to float noise
+    (VERDICT r3 item 7)."""
+    cfg = default_config(
+        geo.Intrinsics(RIG.fu, RIG.fv, RIG.cu, RIG.cv), RIG.baseline
+    )._replace(max_features=256)
+    frames = [sequence.frame(i) for i in range(sequence.n_frames)]
+
+    pipe_a = OdometryPipeline(cfg, seed=1)
+    ls, rs = pipe_a.stage_frames(frames)
+    traj_staged = pipe_a.run_staged(ls, rs, chunk=4)
+
+    pipe_b = OdometryPipeline(cfg, seed=1)
+    traj_stream = pipe_b.run_streaming(iter(frames), chunk=4)
+
+    dev = np.max(np.abs(traj_staged - traj_stream))
+    assert dev < 1e-4, f"streaming vs staged pose deviation {dev}"
+
+    # and repeated runs of the same engine are bit-identical (keys are a
+    # pure function of (seed, step index))
+    pipe_a.reset()
+    traj_again = pipe_a.run_staged(ls, rs, chunk=4)
+    assert np.array_equal(traj_staged, traj_again)
