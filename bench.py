@@ -124,6 +124,29 @@ def run_tpu(rig, seq, frames):
     stream_mb_s = up_stream_mb / max(up_stream_s, 1e-9)
     stage_mb_s = up_mb / max(t_upload, 1e-9)
 
+    # integrated system (unified track-table engine: windowed detection +
+    # per-motion VO + batched BA) on the same frames — the round-4 flagship;
+    # full acceptance artifact: benchmarks/full_system.py
+    from uasl_motion_estimation_tpu.models.smoother import (
+        SmootherConfig,
+        compose_unified,
+        unified_system_scan,
+    )
+
+    scfg = SmootherConfig(pipe=cfg)
+    ukey = jax.random.key(0)
+    jax.device_get(unified_system_scan(ls, rs, ukey, scfg, wchunk=5))  # warm
+    int_times = []
+    uout = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        uout = jax.device_get(unified_system_scan(ls, rs, ukey, scfg,
+                                                  wchunk=5))
+        int_times.append(time.perf_counter() - t0)
+    fps_int = (N_FRAMES - 1) / float(np.median(int_times))
+    ures = compose_unified(uout, N_FRAMES, scfg)
+    ate_int = float(ate_rmse(ures.traj_ba[:, :3, 3], seq.gt_positions()))
+
     # BENCH_TRACE=1: capture a jax.profiler trace of one timed run so the
     # wall-clock/device-compute split is inspectable (benchmarks/trace_r02)
     if os.environ.get("BENCH_TRACE") == "1":
@@ -137,6 +160,8 @@ def run_tpu(rig, seq, frames):
             print(f"# trace capture failed: {e}", file=sys.stderr)
 
     extras = {
+        "fps_integrated_vo_ba": round(fps_int, 3),
+        "ate_integrated_m": round(ate_int, 4),
         "fps_end_to_end": round(fps_e2e, 3),
         "fps_end_to_end_reps_s": [round(t, 3) for t in e2e_times],
         "upload_mb": round(up_mb, 1),

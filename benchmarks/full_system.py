@@ -153,7 +153,8 @@ def main():
         "degraded_frame_policy": "frames with inlier ratio < %.2f are "
             "flagged; the VO solver independently gates hard failures to "
             "identity motion, and BA installs are gated per-motion on "
-            "min_frame_obs endpoint support (best-support policy)"
+            "min_frame_obs endpoint support plus the install_disc_px "
+            "plausibility cap (best-support policy)"
             % INLIER_FLOOR,
         "degraded_frames": [int(i) for i in np.nonzero(degraded)[0]],
         "windows_containing_degraded_frame": win_has_degraded,

@@ -155,3 +155,54 @@ class TestStitching:
         covs = jnp.stack([jnp.eye(6) * 1e-4, jnp.eye(6) * 1e2])
         w = np.asarray(stitching.weights_from_covariances(covs))
         assert w[0] > 1e3 * w[1]
+
+
+class TestShardedUnified:
+    def test_window_parallel_unified_matches_single_device(self):
+        """The unified integrated system with windows sharded over the
+        8-device mesh must reproduce the single-device scan: windows are
+        independent and keys derive from global motion indices, so the
+        per-window solves are the same computation placed differently."""
+        from uasl_motion_estimation_tpu.models.smoother import (
+            SmootherConfig,
+            compose_unified,
+            unified_system_scan,
+        )
+        from uasl_motion_estimation_tpu.utils import metrics
+
+        rig = CameraRig(fu=200.0, fv=200.0, cu=80.0, cv=48.0, baseline=0.5,
+                        height=96, width=160)
+        n = 34  # 8 aligned windows of 5 at stride 4 + clamped tail (29)
+        seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=6)
+        frames = [seq.frame(i) for i in range(n)]
+        ls = jnp.asarray(np.clip(np.stack([f[0] for f in frames]), 0, 255)
+                         .astype(np.uint8))
+        rs = jnp.asarray(np.clip(np.stack([f[1] for f in frames]), 0, 255)
+                         .astype(np.uint8))
+        pipe = default_config(
+            geo.Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline,
+            image_shape=(96, 160),
+        )._replace(max_features=128)
+        cfg = SmootherConfig(pipe=pipe)
+        key = jax.random.key(0)
+
+        mesh = parallel.make_mesh(8)
+        out_sharded = jax.device_get(
+            parallel.sharded_unified_scan(ls, rs, key, cfg, mesh)
+        )
+        out_single = jax.device_get(
+            unified_system_scan(ls, rs, key, cfg, wchunk=3)
+        )
+        assert out_sharded.vo_motions.shape == out_single.vo_motions.shape
+        # same problems, different placement: agree to float noise
+        np.testing.assert_allclose(
+            out_sharded.vo_motions, out_single.vo_motions, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            out_sharded.refined_motions, out_single.refined_motions,
+            atol=1e-2
+        )
+        res = compose_unified(out_sharded, n, cfg)
+        gt = seq.gt_positions()
+        ate = metrics.ate_rmse(res.traj_ba[:, :3, 3], gt)
+        assert ate < 0.15, ate

@@ -99,6 +99,22 @@ class SmootherConfig(NamedTuple):
     #     a stale template turns that into a drift that is CORRELATED across
     #     tracks — exactly the error component BA cannot average away.
     track_mode: str = "chain"
+    # Refined-motion install cap: a BA motion is installed only when it
+    # stays within this plausibility radius of the SAME window's VO
+    # motion, measured as the approximate image-space displacement
+    # fu * (||dt|| / depth + rotation_angle) in PIXELS at the nominal
+    # scene depth. Pixel units make the cap resolution-invariant: VO
+    # per-motion noise is angular (~1/focal), so a fixed metric cap that
+    # is right at KITTI focal lengths (measured VO std ~40 mm) would
+    # reject legitimate refinements at lower resolutions. A refinement
+    # that wanders beyond this radius from its own init has followed
+    # drifted window tails into a different optimum and is almost
+    # certainly the wrong one. Validated ate_ba < ate_vo on four 40-frame
+    # worlds + the 500-frame world (diag_install_policies.py): without
+    # the cap the 500-frame BA chain is WORSE than VO (2.56 vs 1.94 m, a
+    # few giant installed motions dominating); with it, 1.60 m.
+    install_disc_px: float = 4.8  # == 0.10 m at KITTI fu/depth
+    install_disc_depth_m: float = 15.0  # nominal depth for dt -> px
 
 
 def _detect_and_match(left, right, cfg: PipelineConfig):
@@ -309,6 +325,77 @@ class UnifiedOutput(NamedTuple):
     n_frame_obs: jax.Array  # (K, W) gated observations per window frame
 
 
+def unified_solve_group(
+    lf: jax.Array,  # (n, H, W) float32 frames
+    rf: jax.Array,
+    start_group: jax.Array,  # (k,) int32 window starts
+    base_key: jax.Array,
+    index_offset,
+    cfg: SmootherConfig,
+) -> tuple:
+    """Solve one group of windows end-to-end: track tables -> per-motion VO
+    -> batched BA -> fenced refined-motion composition.
+
+    The shared core of unified_system_scan (lax.map over groups) and the
+    multi-chip window-parallel engine (parallel/unified.py shard_map over
+    devices). Returns the UnifiedOutput field tuple for the group."""
+    W = cfg.window
+    ba_cfg = BAConfig(
+        intr=cfg.pipe.vo.intr1,
+        baseline=float(cfg.pipe.vo.baseline),
+        n_fixed=cfg.n_fixed,
+        max_iter=cfg.ba_max_iter,
+        huber_delta=cfg.huber_delta,
+    )
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+
+    obs, mask = _build_window_tracks(lf, rf, start_group, cfg)
+    # quad matches for motion j: prev = frame j, cur = frame j+1
+    # ((N,4,2) [prevL, prevR, curL, curR], StereoOdoMatches layout)
+    quv = jnp.stack(
+        [obs[:, :-1, :, 0:2], obs[:, :-1, :, 2:4],
+         obs[:, 1:, :, 0:2], obs[:, 1:, :, 2:4]],
+        axis=-2,
+    )  # (k, W-1, M, 4, 2)
+    qvalid = mask[:, 1:]  # monotone: valid at j+1 implies valid at j
+    # RANSAC keys from the GLOBAL motion index: overlapping windows and
+    # streaming/staged engines solve bit-identical problems
+    midx = (jnp.asarray(index_offset, jnp.int32) + start_group[:, None]
+            + jnp.arange(W - 1, dtype=jnp.int32))
+    keys = jax.vmap(jax.vmap(
+        lambda i: jax.random.fold_in(base_key, i)
+    ))(midx)
+    vo = jax.vmap(jax.vmap(
+        lambda m, v, ky: stereo_vo_solve(m, v, ky, cfg.pipe.vo)
+    ))(quv, qvalid, keys)
+    motions_local = jnp.where(
+        vo.success[..., None, None], vo.motion, eye4
+    )  # degraded contract: failed motion -> identity
+    problems = jax.vmap(
+        lambda m, o, msk: _init_window_problem_local(m, o, msk, cfg)
+    )(motions_local, obs, mask)
+    res = jax.vmap(lambda pr: ba_solve(pr, ba_cfg))(problems)
+    # refined window motions m_j = T_{j+1} @ inv(T_j). MUST be fenced
+    # to full f32: default bf16-pass 4x4 matmuls put ~0.1-0.2 deg of
+    # spurious rotation per motion on an exactly-converged BA solution
+    # (the round-3 ATE regression, root-caused round 4)
+    with jax.default_matmul_precision("highest"):
+        Ts = jax.vmap(jax.vmap(_T_from_cam6))(res.cam)
+        ref = jnp.einsum(
+            "kwij,kwjl->kwil",
+            Ts[:, 1:],
+            jax.vmap(jax.vmap(_inv_se3))(Ts[:, :-1]),
+        )
+    n_obs = jnp.sum(problems.mask, axis=(1, 2)).astype(jnp.int32)
+    n_frame = jnp.sum(problems.mask, axis=2).astype(jnp.int32)
+    return (
+        motions_local, vo.success,
+        jnp.sum(qvalid, axis=-1).astype(jnp.int32), vo.n_inliers,
+        vo.mean_reproj_error, ref, res.cost, res.converged, n_obs,
+        n_frame,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "wchunk"))
 def unified_system_scan(
     ls: jax.Array,  # (n, H, W) staged frames (uint8 wire format or f32)
@@ -346,64 +433,13 @@ def unified_system_scan(
 
     lf = ls.astype(jnp.float32)
     rf = rs.astype(jnp.float32)
-    ba_cfg = BAConfig(
-        intr=cfg.pipe.vo.intr1,
-        baseline=float(cfg.pipe.vo.baseline),
-        n_fixed=cfg.n_fixed,
-        max_iter=cfg.ba_max_iter,
-        huber_delta=cfg.huber_delta,
-    )
-    eye4 = jnp.eye(4, dtype=jnp.float32)
-
-    def solve_group(start_group):  # (wchunk,)
-        obs, mask = _build_window_tracks(lf, rf, start_group, cfg)
-        # quad matches for motion j: prev = frame j, cur = frame j+1
-        # ((N,4,2) [prevL, prevR, curL, curR], StereoOdoMatches layout)
-        quv = jnp.stack(
-            [obs[:, :-1, :, 0:2], obs[:, :-1, :, 2:4],
-             obs[:, 1:, :, 0:2], obs[:, 1:, :, 2:4]],
-            axis=-2,
-        )  # (k, W-1, M, 4, 2)
-        qvalid = mask[:, 1:]  # monotone: valid at j+1 implies valid at j
-        # RANSAC keys from the GLOBAL motion index: overlapping windows and
-        # streaming/staged engines solve bit-identical problems
-        midx = (jnp.asarray(index_offset, jnp.int32) + start_group[:, None]
-                + jnp.arange(W - 1, dtype=jnp.int32))
-        keys = jax.vmap(jax.vmap(
-            lambda i: jax.random.fold_in(base_key, i)
-        ))(midx)
-        vo = jax.vmap(jax.vmap(
-            lambda m, v, ky: stereo_vo_solve(m, v, ky, cfg.pipe.vo)
-        ))(quv, qvalid, keys)
-        motions_local = jnp.where(
-            vo.success[..., None, None], vo.motion, eye4
-        )  # degraded contract: failed motion -> identity
-        problems = jax.vmap(
-            lambda m, o, msk: _init_window_problem_local(m, o, msk, cfg)
-        )(motions_local, obs, mask)
-        res = jax.vmap(lambda pr: ba_solve(pr, ba_cfg))(problems)
-        # refined window motions m_j = T_{j+1} @ inv(T_j). MUST be fenced
-        # to full f32: default bf16-pass 4x4 matmuls put ~0.1-0.2 deg of
-        # spurious rotation per motion on an exactly-converged BA solution
-        # (the round-3 ATE regression, root-caused round 4)
-        with jax.default_matmul_precision("highest"):
-            Ts = jax.vmap(jax.vmap(_T_from_cam6))(res.cam)
-            ref = jnp.einsum(
-                "kwij,kwjl->kwil",
-                Ts[:, 1:],
-                jax.vmap(jax.vmap(_inv_se3))(Ts[:, :-1]),
-            )
-        n_obs = jnp.sum(problems.mask, axis=(1, 2)).astype(jnp.int32)
-        n_frame = jnp.sum(problems.mask, axis=2).astype(jnp.int32)
-        return (
-            motions_local, vo.success,
-            jnp.sum(qvalid, axis=-1).astype(jnp.int32), vo.n_inliers,
-            vo.mean_reproj_error, ref, res.cost, res.converged, n_obs,
-            n_frame,
-        )
 
     groups = starts.reshape(g, wchunk)
-    outs = jax.lax.map(solve_group, groups)
+    outs = jax.lax.map(
+        lambda sg: unified_solve_group(lf, rf, sg, base_key, index_offset,
+                                       cfg),
+        groups,
+    )
     unpad = lambda x: x.reshape((g * wchunk,) + x.shape[2:])[:k]
     return UnifiedOutput(*(unpad(x) for x in outs))
 
@@ -418,27 +454,29 @@ def _compose_from_chunks(
     ``chunks``: (output, global window starts (K,), frames valid through)
     triples — one for the staged scan, several for the streaming engine.
 
-    Install policy is BEST-SUPPORT: when several windows cover a motion
-    (stride < window-1, the clamped tail window, or streaming-chunk
-    padding), each motion takes the covering window with the most
-    OBSERVATION SUPPORT — VO by RANSAC inlier count, BA by the smaller of
-    the two endpoint frames' gated track counts. Track age alone is the
-    wrong arbiter: chained-KLT drift does grow with age, but a window born
-    on a bad frame (occluder sweep) offers a young estimate from a
-    starved table — measured at bench scale, min-age install DOUBLED the
-    VO ATE by preferring 21-track age-0 solves over 80-track age-2 ones
-    (diag_install_policies.py; best-support passes ate_ba < ate_vo on all
-    four validation worlds). The BA install additionally requires
-    min_frame_obs gated observations at both endpoint frames (degraded
-    contract, MonoVisualOdometry.cpp:47-51 semantics), else the installed
-    VO motion stands."""
+    Install policy is BEST-SUPPORT + DISCREPANCY CAP: when several windows
+    cover a motion (stride < window-1, the clamped tail window, or
+    streaming-chunk padding), each motion takes the covering window with
+    the most OBSERVATION SUPPORT — VO by RANSAC inlier count, BA by the
+    smaller of the two endpoint frames' gated track counts. Track age
+    alone is the wrong arbiter: chained-KLT drift does grow with age, but
+    a window born on a bad frame (occluder sweep) offers a young estimate
+    from a starved table — measured at bench scale, min-age install
+    DOUBLED the VO ATE by preferring 21-track age-0 solves over 80-track
+    age-2 ones (diag_install_policies.py). A BA install additionally
+    requires (a) min_frame_obs gated observations at both endpoint frames
+    (degraded contract, MonoVisualOdometry.cpp:47-51 semantics) and (b)
+    the refined motion to stay within install_disc_m meters-equivalent of
+    its own window's VO motion (see SmootherConfig.install_disc_m), else
+    the installed VO motion stands. Validated ate_ba < ate_vo on four
+    40-frame worlds and the 500-frame world."""
     b = n_frames - 1
     W = cfg.window
     motions = np.tile(np.eye(4), (b, 1, 1))
     packed = np.zeros((b, 20), np.float32)
     best_vo = np.full(b, -1, np.int64)  # inlier support of installed VO
-    best_ba = np.full(b, -1, np.int64)  # endpoint support of installed BA
-    ba_install: dict[int, np.ndarray] = {}
+    # BA candidates per motion: (endpoint support, refined, window VO)
+    ba_cands: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
     ba_cost, ba_conv, n_track = [], [], []
 
     for out, g_starts, n_valid in chunks:
@@ -463,16 +501,28 @@ def _compose_from_chunks(
                     packed[m, 18] = float(n_inliers[i, j])
                     packed[m, 19] = float(vo_err[i, j])
                 support = int(min(nfo[i, j], nfo[i, j + 1]))
-                if support >= cfg.min_frame_obs and support > best_ba[m]:
-                    best_ba[m] = support
-                    ba_install[m] = refined[i, j]
+                if support >= cfg.min_frame_obs:
+                    ba_cands.setdefault(m, []).append(
+                        (support, refined[i, j], vo_m[i, j])
+                    )
         ba_cost.append(np.asarray(out.ba_cost))
         ba_conv.append(np.asarray(out.ba_converged))
         n_track.append(np.asarray(out.n_track_obs))
 
+    fu = float(cfg.pipe.vo.intr1.fu)
+
+    def discrepancy_px(a, b_):
+        dt = np.linalg.norm(a[:3, 3] - b_[:3, 3])
+        Rr = a[:3, :3].T @ b_[:3, :3]
+        ang = np.arccos(np.clip((np.trace(Rr) - 1.0) / 2.0, -1.0, 1.0))
+        return fu * (dt / cfg.install_disc_depth_m + ang)
+
     motions_ba = motions.copy()
-    for m, ref in ba_install.items():
-        motions_ba[m] = ref
+    for m, cands in ba_cands.items():
+        for _, ref, win_vo in sorted(cands, key=lambda c: -c[0]):
+            if discrepancy_px(ref, win_vo) <= cfg.install_disc_px:
+                motions_ba[m] = ref
+                break
 
     def chain(ms):
         traj = np.empty((n_frames, 4, 4))

@@ -5,3 +5,4 @@ from .segments import (  # noqa: F401
     sharded_chain_motions,
     sharded_sequence_vo,
 )
+from .unified import sharded_unified_scan  # noqa: F401
