@@ -61,7 +61,16 @@ class MonoVOParams(NamedTuple):
     # minimal solver (ops/fivepoint.py; reference parity:
     # cv::findEssentialMat's 5-point, MonoVisualOdometry.cpp:20). A 5-point
     # sample succeeds with probability inlier^5 vs inlier^8, the decisive
-    # factor at high outlier rates.
+    # factor at high outlier rates: the committed breakdown curve
+    # (benchmarks/mono_breakdown.json) shows 5point sustaining 75% outliers
+    # where the pencil fails at 40%.
+    #
+    # Default choice, MEASURED on-device (benchmarks/results_extra_configs
+    # .json, config_mono_vo, 752x480 pipeline): pencil8 8.62 fps vs 5point
+    # 2.10 fps at IDENTICAL ATE (0.0585 m) — the reference's default
+    # (5-point) is the measured-unaffordable option here at equal nominal
+    # accuracy, so the faster solver is the default and "5point" remains
+    # one config switch away for high-outlier regimes.
     solver: str = "pencil8"
 
 
