@@ -173,8 +173,8 @@ def main():
                 "covers all n_frames; the like-for-like accuracy row vs the "
                 "reference is ate_m_ref_span vs ref_ate_m over the same "
                 "first ref_frames frames (ATE is length-dependent; the "
-                "reference runs fewer frames because its CPU loop is ~2 "
-                "min/frame at this resolution). fps ratio compares "
+                "reference run is capped at fewer frames to keep the "
+                "2-CPU host measurement window short). fps ratio compares "
                 "steady-state per-frame throughput, which is "
                 "length-independent.",
     }
