@@ -262,7 +262,10 @@ if __name__ == "__main__":
         collected["config4_ba_windows"] = bench_ba_windows()
     if which in ("m", "mono", "all"):
         collected["config_mono_vo"] = bench_mono()
-    if which == "all":
-        out = REPO / "benchmarks" / "results_extra_configs.json"
-        out.write_text(json.dumps(collected, indent=2))
-        print(f"wrote {out}")
+    out = REPO / "benchmarks" / "results_extra_configs.json"
+    # merge into the existing artifact so single-config re-measurements
+    # update their row without stale-ing the others
+    merged = json.loads(out.read_text()) if out.exists() else {}
+    merged.update(collected)
+    out.write_text(json.dumps(merged, indent=2))
+    print(f"wrote {out}")

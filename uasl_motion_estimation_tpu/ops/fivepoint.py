@@ -103,7 +103,12 @@ def _det_sign_value(basis: jax.Array, z: jax.Array) -> jax.Array:
 _PHI_MAX = 1.5637  # tan -> ~140
 _N_GRID = 128
 _MAX_ROOTS = 10
-_BISECT_ITERS = 42
+# Bisection depth is bounded by f32, not by appetite: the initial bracket
+# is 2*PHI_MAX/(G-1) ~ 0.0246 rad and phi has ~6e-8 absolute resolution at
+# |phi| <= 1.56, so after ~19 halvings the midpoint equals an endpoint and
+# further iterations are no-ops (round 3 ran 42 — the extra 22 iterations
+# were ~40% of the solver's determinant evaluations doing nothing).
+_BISECT_ITERS = 22
 
 
 def fivepoint_candidates(
