@@ -466,10 +466,11 @@ def _compose_from_chunks(
     age-2 ones (diag_install_policies.py). A BA install additionally
     requires (a) min_frame_obs gated observations at both endpoint frames
     (degraded contract, MonoVisualOdometry.cpp:47-51 semantics) and (b)
-    the refined motion to stay within install_disc_m meters-equivalent of
-    its own window's VO motion (see SmootherConfig.install_disc_m), else
-    the installed VO motion stands. Validated ate_ba < ate_vo on four
-    40-frame worlds and the 500-frame world."""
+    the refined motion to stay within the install_disc_px pixel-equivalent
+    plausibility radius of its own window's VO motion (see
+    SmootherConfig.install_disc_px), else the installed VO motion stands.
+    Validated ate_ba < ate_vo on four 40-frame worlds and the 500-frame
+    world."""
     b = n_frames - 1
     W = cfg.window
     motions = np.tile(np.eye(4), (b, 1, 1))
