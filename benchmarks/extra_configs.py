@@ -70,10 +70,37 @@ def bench_klt_pose():
     import numpy as _np
 
     fps = (n - 1) / float(_np.median(times))
+
+    # integrated engine (unified track table, VO + windowed BA) on the
+    # same frames: validates the flagship on a second camera rig
+    from uasl_motion_estimation_tpu.models.smoother import (
+        SmootherConfig,
+        compose_unified,
+        unified_system_scan,
+    )
+
+    scfg = SmootherConfig(pipe=cfg)
+    key = jax.random.key(0)
+    jax.device_get(unified_system_scan(ls, rs, key, scfg, wchunk=4))  # warm
+    int_times = []
+    uout = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        uout = jax.device_get(unified_system_scan(ls, rs, key, scfg,
+                                                  wchunk=4))
+        int_times.append(time.perf_counter() - t0)
+    ures = compose_unified(uout, n, scfg)
+    gt = seq.gt_positions()
     result = {
         "metric": "KLT+pose-only frames/s (EuRoC-like 752x480)",
         "value": round(fps, 2), "unit": "frames/s",
-        "ate_m": round(float(ate_rmse(traj[:, :3, 3], seq.gt_positions())), 4),
+        "ate_m": round(float(ate_rmse(traj[:, :3, 3], gt)), 4),
+        "integrated_vo_ba": {
+            "fps": round((n - 1) / float(_np.median(int_times)), 2),
+            "ate_vo_m": round(float(ate_rmse(ures.traj_vo[:, :3, 3], gt)), 4),
+            "ate_ba_m": round(float(ate_rmse(ures.traj_ba[:, :3, 3], gt)), 4),
+            "ba_converged": int(_np.sum(ures.ba_converged)),
+        },
     }
     print(json.dumps(result))
     return result

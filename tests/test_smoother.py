@@ -121,3 +121,37 @@ def test_unified_streaming_matches_staged():
     gt = seq.gt_positions()
     ate = metrics.ate_rmse(res_stream.traj_ba[:, :3, 3], gt)
     assert ate < 0.1, ate
+
+
+def test_unified_streaming_resume():
+    """Checkpoint/resume: splitting a streaming run at a super-chunk
+    boundary and merging the halves must reproduce the unbroken run
+    exactly (global keys + boundary-aligned windows; stride == window-1
+    means no motion spans the boundary)."""
+    from uasl_motion_estimation_tpu.models.smoother import (
+        merge_unified_results,
+    )
+
+    cfg = make_cfg()
+    # groups=1, wchunk=2 -> advance 8, span 9
+    n = 26
+    seq = SyntheticStereoSequence(n_frames=n, rig=RIG, seed=4,
+                                  corruption=CorruptionConfig())
+    frames = [seq.frame(i) for i in range(n)]
+    kw = dict(wchunk=2, groups=1, seed=1)
+
+    full = run_unified_streaming(iter(frames), cfg, **kw)
+
+    S = 8  # one super-chunk advance
+    # the prefix run sees the frames the unbroken run consumed in its
+    # first super-chunk (span = advance + 1 boundary frame)
+    part_a = run_unified_streaming(iter(frames[: S + 1]), cfg, **kw)
+    part_b = run_unified_streaming(iter(frames[S:]), cfg, start_frame=S,
+                                   **kw)
+    merged = merge_unified_results(part_a, part_b, at=S)
+
+    assert merged.traj_vo.shape == full.traj_vo.shape
+    np.testing.assert_allclose(merged.traj_vo, full.traj_vo, atol=1e-5)
+    np.testing.assert_allclose(merged.traj_ba, full.traj_ba, atol=1e-5)
+    np.testing.assert_array_equal(merged.per_frame[:, 16],
+                                  full.per_frame[:, 16])

@@ -578,6 +578,7 @@ def run_unified_streaming(
     groups: int = 2,  # lax.map groups per super-chunk
     prefetch: int = 2,
     stats: dict | None = None,
+    start_frame: int = 0,
 ) -> FullSystemResult:
     """Streaming integrated system: VO + windowed BA over an UNBOUNDED
     frame iterable with bounded device memory and upload/compute overlap.
@@ -599,6 +600,18 @@ def run_unified_streaming(
     is motion-for-motion identical to unified_system_scan on the staged
     whole sequence.
 
+    CHECKPOINT/RESUME: ``start_frame`` (a multiple of the super-chunk
+    advance ``groups * wchunk * ba_rate``) resumes an interrupted session:
+    feed the frames from ``start_frame`` onward and the engine processes
+    exactly the super-chunks the unbroken run would have from that point —
+    same window starts, same global keys, bit-identical solves. The
+    returned result is RELATIVE to ``start_frame`` (its traj[0] is
+    identity); chain it onto the prior partial result with
+    ``merge_unified_results``. With the default stride == window-1 the
+    merge reproduces the unbroken run exactly (no motions span the
+    boundary); with smaller strides the few boundary motions may install
+    from a different (equally valid) covering window.
+
     Returns the composed FullSystemResult over the real frames.
     """
     import queue
@@ -614,6 +627,10 @@ def run_unified_streaming(
     span = (n_win - 1) * stride + W  # frames per super-chunk
     advance = n_win * stride  # frames consumed per super-chunk
     overlap = span - advance  # frames carried to the next super-chunk
+    if start_frame % advance != 0:
+        raise ValueError(
+            f"start_frame must be a super-chunk boundary (multiple of "
+            f"{advance}), got {start_frame}")
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     if stats is not None:
@@ -635,7 +652,7 @@ def run_unified_streaming(
 
     def uploader():
         buf: list[tuple[np.ndarray, np.ndarray]] = []
-        offset = 0  # global index of buf[0]
+        offset = start_frame  # global index of buf[0]
         try:
             for f in frames:
                 buf.append((to_u8(f[0]), to_u8(f[1])))
@@ -643,7 +660,7 @@ def run_unified_streaming(
                     put_stack(buf, offset, span)
                     buf = buf[advance:]
                     offset += advance
-            if len(buf) > overlap or (offset == 0 and len(buf) > 1):
+            if len(buf) > overlap or (offset == start_frame and len(buf) > 1):
                 n_real = len(buf)
                 buf = buf + [buf[-1]] * (span - len(buf))
                 put_stack(buf, offset, n_real)
@@ -678,10 +695,37 @@ def run_unified_streaming(
             n_track_obs=np.zeros(0, np.int32),
         )
 
-    n_frames = results[-1][1] + results[-1][2]  # offset + real frames
+    # compose RELATIVE to start_frame (keys stayed global via index_offset)
+    n_frames = results[-1][1] + results[-1][2] - start_frame
     local_starts = unified_window_starts(span, W, stride)
     chunks = [
-        (jax.device_get(out_dev), offset + local_starts, offset + n_real)
+        (jax.device_get(out_dev), offset - start_frame + local_starts,
+         offset - start_frame + n_real)
         for out_dev, offset, n_real in results
     ]
     return _compose_from_chunks(chunks, n_frames, cfg)
+
+
+def merge_unified_results(
+    a: FullSystemResult, b: FullSystemResult, at: int | None = None
+) -> FullSystemResult:
+    """Chain a resumed streaming result onto the partial result it resumes:
+    ``b`` came from run_unified_streaming(start_frame=at) and is RELATIVE
+    to frame ``at`` (its traj[0] is identity). ``at`` defaults to the last
+    frame of ``a``; pass it explicitly when ``a`` extends past the resume
+    boundary (a partial run's final super-chunk covers ``window - ba_rate``
+    frames beyond its advance point)."""
+    if at is None:
+        at = a.traj_vo.shape[0] - 1
+
+    def chain(ta, tb):
+        return np.concatenate([ta[: at + 1], ta[at] @ tb[1:]])
+
+    return FullSystemResult(
+        traj_vo=chain(a.traj_vo, b.traj_vo),
+        traj_ba=chain(a.traj_ba, b.traj_ba),
+        per_frame=np.concatenate([a.per_frame[:at], b.per_frame]),
+        ba_cost=np.concatenate([a.ba_cost, b.ba_cost]),
+        ba_converged=np.concatenate([a.ba_converged, b.ba_converged]),
+        n_track_obs=np.concatenate([a.n_track_obs, b.n_track_obs]),
+    )
