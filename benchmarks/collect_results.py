@@ -59,6 +59,10 @@ def main():
         "long_sequence_501": load(B / "long_sequence_r04.json"),
         "reference_cpu_baseline": load(B / "reference_cpu.json"),
         "reference_cpu_corrupted": load(B / "reference_cpu_corrupted.json"),
+        "profiling_stage_budget": {
+            "unified_engine": load(B / "unified_stage_split.json"),
+            "track_stage": load(B / "track_stage_split.json"),
+        },
     }
     missing = [k for k, v in out.items() if v is None]
     out["missing"] = missing
