@@ -1,10 +1,13 @@
-"""Diagnostic: why does windowed BA degrade ATE at the KITTI-size bench
-config (full_system_r03.json: 0.064 -> 0.129 m) while 192x320 tests pass?
+"""Diagnostic: per-motion VO-vs-BA error against exact GT on the unified
+engine (originally built for the round-3 question "why does windowed BA
+degrade ATE at the KITTI-size bench config"; root-caused and fixed round 4,
+kept as the standing per-motion inspection tool — ported to the unified
+track-table engine when the round-3 full_system_scan was removed).
 
 Compares every window motion against exact GT: VO error vs refined error,
 per-frame gated observation counts, per-window cost, and whether the
 min_frame_obs install gate fires. Prints a per-motion table. Not a
-committed benchmark — a debugging tool for VERDICT r3 item 1.
+committed benchmark — a debugging tool.
 """
 
 from __future__ import annotations
@@ -19,8 +22,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "40"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "13"))
-WCHUNK = int(os.environ.get("BENCH_WCHUNK", "5"))
+WCHUNK = int(os.environ.get("BENCH_WCHUNK", "4"))
 
 
 def main():
@@ -32,9 +34,9 @@ def main():
     from uasl_motion_estimation_tpu.models.pipeline import default_config
     from uasl_motion_estimation_tpu.models.smoother import (
         SmootherConfig,
-        compose_trajectories,
-        full_system_scan,
-        window_starts,
+        compose_unified,
+        unified_system_scan,
+        unified_window_starts,
     )
     from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
     from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
@@ -62,20 +64,16 @@ def main():
         np.clip(np.stack([f[0] for f in frames]), 0, 255).astype(np.uint8))
     rs = jax.numpy.asarray(
         np.clip(np.stack([f[1] for f in frames]), 0, 255).astype(np.uint8))
-    g = -(-(N_FRAMES - 1) // CHUNK)
-    keys = jax.random.split(jax.random.key(0), g * CHUNK)
     out = jax.device_get(
-        full_system_scan(ls, rs, keys, cfg, chunk=CHUNK, wchunk=WCHUNK)
+        unified_system_scan(ls, rs, jax.random.key(0), cfg, wchunk=WCHUNK)
     )
-    res = compose_trajectories(out, N_FRAMES, cfg)
+    res = compose_unified(out, N_FRAMES, cfg)
 
     ate_vo = float(ate_rmse(res.traj_vo[:, :3, 3], gt))
     ate_ba = float(ate_rmse(res.traj_ba[:, :3, 3], gt))
     print(f"ate_vo={ate_vo:.4f}  ate_ba={ate_ba:.4f}")
 
     b = N_FRAMES - 1
-    packed = res.per_frame
-    motions_vo = packed[:, :16].reshape(b, 4, 4).astype(np.float64)
     gt_motions = np.stack(
         [np.linalg.inv(gt_poses[j + 1]) @ gt_poses[j] for j in range(b)]
     )
@@ -85,7 +83,8 @@ def main():
         c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
         return float(np.degrees(np.arccos(c)))
 
-    starts = window_starts(N_FRAMES, cfg.window, cfg.ba_rate)
+    starts = unified_window_starts(N_FRAMES, cfg.window, cfg.ba_rate)
+    motions_vo = np.asarray(out.vo_motions, np.float64)
     refined = np.asarray(out.refined_motions, np.float64)
     n_frame_obs = np.asarray(out.n_frame_obs)
     print(f"windows at {starts}")
@@ -96,9 +95,11 @@ def main():
     for i, s in enumerate(starts):
         for j in range(cfg.window - 1):
             m = s + j
-            evo = np.linalg.norm(motions_vo[m, :3, 3] - gt_motions[m, :3, 3])
+            if m >= b:
+                continue
+            evo = np.linalg.norm(motions_vo[i, j, :3, 3] - gt_motions[m, :3, 3])
             eba = np.linalg.norm(refined[i, j, :3, 3] - gt_motions[m, :3, 3])
-            rvo = rot_err_deg(motions_vo[m], gt_motions[m])
+            rvo = rot_err_deg(motions_vo[i, j], gt_motions[m])
             rba = rot_err_deg(refined[i, j], gt_motions[m])
             inst = (n_frame_obs[i, j] >= cfg.min_frame_obs
                     and n_frame_obs[i, j + 1] >= cfg.min_frame_obs)

@@ -46,6 +46,24 @@ def test_window_schedule():
     assert unified_window_starts(4, 5, 4).size == 0
 
 
+def test_uncovered_stride_rejected():
+    """ba_rate > window-1 leaves (stride-window+1) motions per period with
+    no covering window — identity in BOTH trajectories. Every engine must
+    refuse it (ADVICE r4: only the streaming path validated this)."""
+    import jax
+
+    from uasl_motion_estimation_tpu.models.smoother import (
+        unified_system_scan,
+    )
+
+    cfg = make_cfg(ba_rate=5)  # window=5 -> motion 4 of each period uncovered
+    ls = np.zeros((12, 192, 320), np.uint8)
+    with pytest.raises(ValueError, match="ba_rate"):
+        unified_system_scan(ls, ls, jax.random.key(0), cfg)
+    with pytest.raises(ValueError, match="ba_rate"):
+        run_unified_streaming(iter([]), cfg)
+
+
 def run_world(corruption, n=17):
     seq = SyntheticStereoSequence(n_frames=n, rig=RIG, seed=4,
                                   corruption=corruption)

@@ -57,9 +57,13 @@ class SmootherConfig(NamedTuple):
     pipe: PipelineConfig
     window: int = 5  # TrackingInfo.window_size default (file_IO.h:69)
     # Window stride in frames (the reference's ba_rate cadence,
-    # file_IO.h:70; its default 0 means "consumer-chosen"). window-1 tiles
-    # every motion into exactly one window (smoother tiling); larger strides
-    # leave (stride - window + 1) motions per period un-refined.
+    # file_IO.h:70; its default 0 means "consumer-chosen"). Must satisfy
+    # ba_rate <= window - 1: in the unified engine EVERY motion is solved by
+    # some covering window (there is no separate global VO scan), so a
+    # larger stride would leave (stride - window + 1) motions per period
+    # with no estimate at all — identity in BOTH traj_vo and traj_ba. The
+    # engines enforce this (unified_system_scan / sharded_unified_scan /
+    # run_unified_streaming all raise on violation).
     ba_rate: int = 4
     # Fixed frames per window: 1 = pure gauge fixing (stereo BA has metric
     # scale from the baseline, so one anchor suffices); the reference's
@@ -412,6 +416,11 @@ def unified_system_scan(
     indices, so a long sequence processed in streaming super-chunks
     (run_unified_streaming) solves bit-identical per-motion problems to the
     same sequence staged whole."""
+    if cfg.ba_rate > cfg.window - 1:
+        raise ValueError(
+            "unified engine needs ba_rate <= window-1 for full motion "
+            f"coverage (got ba_rate={cfg.ba_rate}, window={cfg.window}); "
+            "larger strides would leave uncovered motions as identity")
     n = int(ls.shape[0])
     W = cfg.window
     starts_np = unified_window_starts(n, W, cfg.ba_rate)
@@ -475,7 +484,13 @@ def _compose_from_chunks(
     W = cfg.window
     motions = np.tile(np.eye(4), (b, 1, 1))
     packed = np.zeros((b, 20), np.float32)
-    best_vo = np.full(b, -1, np.int64)  # inlier support of installed VO
+    # Support key of the installed VO motion: (success, inliers). Success
+    # leads — a failed solve's motion was already replaced with identity
+    # (unified_solve_group degraded contract), so a high-inlier FAILED
+    # window must never out-compete an overlapping successful one (it
+    # would install identity where a valid estimate exists); among equal
+    # success, more RANSAC inliers wins.
+    best_vo = [(-1, -1)] * b
     # BA candidates per motion: (endpoint support, refined, window VO)
     ba_cands: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
     ba_cost, ba_conv, n_track = [], [], []
@@ -493,8 +508,9 @@ def _compose_from_chunks(
                 m = s + j
                 if m >= b or s + j + 1 >= n_valid:
                     continue  # padding / beyond the real sequence
-                if int(n_inliers[i, j]) > best_vo[m]:
-                    best_vo[m] = int(n_inliers[i, j])
+                key = (int(succ[i, j]), int(n_inliers[i, j]))
+                if key > best_vo[m]:
+                    best_vo[m] = key
                     motions[m] = vo_m[i, j]
                     packed[m, :16] = vo_m[i, j].reshape(16)
                     packed[m, 16] = float(succ[i, j])

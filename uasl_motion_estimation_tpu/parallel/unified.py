@@ -50,6 +50,10 @@ def sharded_unified_scan(
     own windows. Returns per-window outputs with the leading axis sharded
     (device_get composes them on the host via compose_unified).
     """
+    if cfg.ba_rate > cfg.window - 1:
+        raise ValueError(
+            "unified engine needs ba_rate <= window-1 for full motion "
+            f"coverage (got ba_rate={cfg.ba_rate}, window={cfg.window})")
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     n = int(ls.shape[0])
