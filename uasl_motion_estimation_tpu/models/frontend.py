@@ -35,6 +35,9 @@ class MatcherConfig(NamedTuple):
     mi_bins: int = 20
     mi_min_score: float = 0.4  # MI acceptance (bits)
     refine_iters: int = 2  # 1-D photometric subpixel refinement steps
+    # MI scoring backend: None = auto (Pallas VMEM kernel on TPU, jnp
+    # one-hot matmuls elsewhere); True/False forces a path (test-only).
+    use_pallas: bool | None = None
     # Search width when a per-feature disparity prior is available (the
     # quad-matcher's cur-pair match reuses the prev-pair disparity of each
     # tracked feature): candidates span prior +/- prior_width/2. Sized for
@@ -129,7 +132,8 @@ def match_stereo(
 
     if use_mi:
         # MI has no moment decomposition, so the cross-modal path stays
-        # patch-gather based (it runs on small cross-modal feature budgets)
+        # patch-gather based; the (N x D) pair scoring routes through the
+        # Pallas VMEM joint-histogram kernel on TPU (jnp one-hot elsewhere)
         d_range = jnp.arange(cfg.max_disparity, dtype=img_left.dtype)
         cand = jnp.stack(
             [
@@ -143,8 +147,9 @@ def match_stereo(
             n, cfg.max_disparity, 2 * r + 1, 2 * r + 1
         )
         cand_ok = im.patch_in_bounds(cand, r + 1, h, w)  # (N, D)
-        scores = sim.mutual_information(
-            patches_l[:, None], patches_r, bins=cfg.mi_bins
+        scores = sim.mutual_information_batched(
+            patches_l[:, None], patches_r, bins=cfg.mi_bins,
+            use_pallas=cfg.use_pallas,
         )  # (N, D)
         scores = jnp.where(cand_ok, scores, -jnp.inf)
         min_score = cfg.mi_min_score

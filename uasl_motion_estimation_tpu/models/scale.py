@@ -42,6 +42,8 @@ class ScaleConfig(NamedTuple):
     fd_step: float = 1.0  # dp = 1 px (optimisation.cpp:440)
     max_iter: int = 20  # OptimisationParams default (optimisation.h:31)
     use_lm: bool = True
+    # MI scoring backend: None = auto (Pallas kernel on TPU, jnp elsewhere)
+    use_pallas: bool | None = None
     e1: float = 1e-4
     e2: float = 1e-6
     e3: float = 1e-6
@@ -66,7 +68,8 @@ def _patch_mi_and_weight(
     )
     pl = im.extract_patches(left, uv_l, r)
     pr = im.extract_patches(right, uv_r, r)
-    mi = sim.mutual_information(pl, pr, bins=cfg.mi_bins)
+    mi = sim.mutual_information_batched(pl, pr, bins=cfg.mi_bins,
+                                        use_pallas=cfg.use_pallas)
     if cfg.weighting:
         gx, _ = im.sobel(left)
         gp = im.extract_patches(jnp.abs(gx), uv_l, r)

