@@ -209,6 +209,133 @@ def bench_mi_matcher():
     return result
 
 
+def bench_mi_scale():
+    """Config 3b: cross-modal MI metric-scale session — the reference's only
+    link-instantiated Optimiser (Optimiser<ScaleState, ...>,
+    src/optimisation/optimisation.cpp:150-228, 436-537, 749) driven
+    end-to-end: left-camera mono VO for up-to-scale motion + structure, MI
+    matcher seeding the scale, MI-LM refinement against the stereo baseline
+    (VERDICT r4 item 1)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uasl_motion_estimation_tpu.models import frontend as fe
+    from uasl_motion_estimation_tpu.models.cross_modal import (
+        CrossModalConfig,
+        cross_modal_step,
+        run_cross_modal,
+    )
+    from uasl_motion_estimation_tpu.models.mono_vo import MonoVOParams
+    from uasl_motion_estimation_tpu.models.scale import (
+        ScaleConfig,
+        estimate_scale,
+    )
+    from uasl_motion_estimation_tpu.ops.geometry import Intrinsics
+    from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+    from uasl_motion_estimation_tpu.utils.profiling import timeit_forced
+    from uasl_motion_estimation_tpu.utils.synthetic import (
+        CameraRig,
+        SyntheticStereoSequence,
+    )
+
+    rig = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                    height=192, width=320)
+    n = int(os.environ.get("BENCH_FRAMES", "12"))
+    seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=3,
+                                  cross_modal=True)
+    frames = [seq.frame(i) for i in range(n)]
+    intr = Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv)
+    cfg = CrossModalConfig(
+        vo=MonoVOParams(intr=intr),
+        scale=ScaleConfig(intr=intr, baseline=rig.baseline),
+        matcher=fe.MatcherConfig(max_disparity=64),
+        max_features=256,
+    )
+
+    t0 = time.perf_counter()
+    res = run_cross_modal(frames, cfg, seed=0)
+    t_total = time.perf_counter() - t0
+
+    gt_speed = np.linalg.norm(np.diff(seq.poses[:, :3, 3], axis=0), axis=1)
+    err = np.abs(res.scales - gt_speed) / gt_speed
+    err0 = np.abs(res.s0 - gt_speed) / gt_speed
+    ate = float(ate_rmse(res.trajectory[:, :3, 3], seq.gt_positions()))
+    stops: dict = {}
+    for r in res.records:
+        stops[r["lm_stop"]] = stops.get(r["lm_stop"], 0) + 1
+
+    # steady-state per-frame latency (the session is a per-frame host loop)
+    import jax as _jax
+    key = _jax.random.key(7)
+    pl_, cl_, cr_ = (jnp.asarray(frames[-2][0], jnp.float32),
+                     jnp.asarray(frames[-1][0], jnp.float32),
+                     jnp.asarray(frames[-1][1], jnp.float32))
+    dt, _ = timeit_forced(
+        lambda: cross_modal_step(pl_, cl_, cr_, key, cfg, s_prev=0.8),
+        reps=5, warmup=2,
+    )
+
+    # MI recovery from deliberately wrong inits (matcher init disabled):
+    # coarse log-space pre-search + LM on exact corner structure, asserted
+    # not eyeballed (the reference only ever logged these curves,
+    # optimisation.cpp:35-46). Structure = detected corners with EXACT
+    # depths from the renderer's disparity map — the representative feature
+    # population (a ground-plane-only set gives a foreshortening-biased,
+    # bumpy objective; measured round 5).
+    from uasl_motion_estimation_tpu.ops import image as im
+
+    left0, right0 = map(jnp.asarray, frames[0])
+    feats, _, v0 = im.detect_features_grid(left0, max_features=256,
+                                           quality_level=1e-4)
+    gtd = seq.gt_disparity(0)
+    f_np = np.asarray(feats)
+    ix = np.clip(np.round(f_np[:, 0]).astype(int), 0, rig.width - 1)
+    iy = np.clip(np.round(f_np[:, 1]).astype(int), 0, rig.height - 1)
+    d_gt = gtd[iy, ix]
+    z = np.where(d_gt > 1e-3, rig.fu * rig.baseline
+                 / np.maximum(d_gt, 1e-3), 0.0)
+    ok = np.asarray(v0) & (z > 2) & (z < 40)
+    X = np.stack([(f_np[:, 0] - rig.cu) * z / rig.fu,
+                  (f_np[:, 1] - rig.cv) * z / rig.fv, z], -1)
+    s_gt = 1.4
+    pts_rec = jnp.asarray((X / s_gt).astype(np.float32))
+    valid_rec = jnp.asarray(ok)
+    scale_cfg_rec = cfg.scale._replace(coarse_candidates=13)
+    recovery = {}
+    for s_init in (0.5, 2.8):
+        s_rec, lmres = estimate_scale(
+            left0, right0, pts_rec, valid_rec,
+            jnp.asarray(s_init), scale_cfg_rec)
+        recovery[str(s_init)] = {
+            "recovered": round(float(s_rec), 4),
+            "err_pct": round(abs(float(s_rec) - s_gt) / s_gt * 100, 2),
+            "n_iter": int(lmres.n_iter),
+        }
+
+    med_err = float(np.median(err)) * 100
+    result = {
+        "metric": "cross-modal MI metric-scale session (192x320, 256 feats)",
+        "value": round(1.0 / dt, 2), "unit": "frames/s",
+        "n_frames": n,
+        "wall_s_total": round(t_total, 2),
+        "scale_accuracy": {
+            "median_err_pct": round(med_err, 2),
+            "max_err_pct": round(float(err.max()) * 100, 2),
+            "s0_median_err_pct": round(float(np.median(err0)) * 100, 2),
+            "gt_speed_m_per_frame": round(float(gt_speed.mean()), 3),
+        },
+        "metric_ate_m": round(ate, 4),
+        "lm_stops": stops,
+        "bad_init_recovery": recovery,
+        "pass_scale": bool(med_err < 2.0),
+        "pass_recovery": bool(all(v["err_pct"] < 5.0
+                                  for v in recovery.values())),
+    }
+    print(json.dumps(result))
+    return result
+
+
 def bench_ba_windows():
     """Config 4: windowed-BA throughput, batched across windows."""
     jax = _setup_jax()
@@ -321,6 +448,8 @@ if __name__ == "__main__":
         collected["config2_klt_pose"] = bench_klt_pose()
     if which in ("3", "all"):
         collected["config3_mi_matcher"] = bench_mi_matcher()
+    if which in ("3b", "all"):
+        collected["config3b_mi_scale"] = bench_mi_scale()
     if which in ("4", "all"):
         collected["config4_ba_windows"] = bench_ba_windows()
     if which in ("m", "mono", "all"):

@@ -44,6 +44,17 @@ class ScaleConfig(NamedTuple):
     use_lm: bool = True
     # MI scoring backend: None = auto (Pallas kernel on TPU, jnp elsewhere)
     use_pallas: bool | None = None
+    # Coarse-to-fine init: evaluate the mean-MI objective at this many
+    # log-spaced scale candidates spanning [s0/coarse_range, s0*coarse_range]
+    # (ONE batched MI pass — all candidates x features scored together) and
+    # start the LM from the argmax. The 1-px finite-difference jacobian
+    # carries patch-MI sampling noise, so plain LM from a far init stalls on
+    # plateau bumps ~7% from the optimum (measured round 5); the pre-search
+    # lands inside the basin where the FD signal dominates. 0 = off
+    # (reference semantics: the consumer supplies a sane init,
+    # optimisation.cpp:436-537 has no global stage).
+    coarse_candidates: int = 0
+    coarse_range: float = 3.0
     e1: float = 1e-4
     e2: float = 1e-6
     e3: float = 1e-6
@@ -102,6 +113,23 @@ def estimate_scale(
     Returns (scale, LMResult of the shared GN/LM engine).
     """
     p = cfg
+
+    if p.coarse_candidates > 0:
+        logr = jnp.log(jnp.asarray(p.coarse_range, left.dtype))
+        cands = s0 * jnp.exp(
+            jnp.linspace(-logr, logr, p.coarse_candidates)
+        )  # (K,)
+
+        def mean_mi(s):
+            pc = s * pts3
+            uv_l = geo.project(pc, p.intr)
+            uv_r = geo.project(pc, p.intr, baseline_shift=p.baseline)
+            mi, w, ok = _patch_mi_and_weight(left, right, uv_l, uv_r,
+                                             valid, p)
+            return jnp.sum(mi * w * ok) / jnp.maximum(jnp.sum(w * ok), 1e-9)
+
+        scores = jax.vmap(mean_mi)(cands)
+        s0 = cands[jnp.argmax(scores)]
 
     def normal_eq(x):
         s = x[0]

@@ -138,11 +138,19 @@ class SyntheticStereoSequence:
         trajectory: np.ndarray | None = None,
         tex_size: int = 1024,
         corruption: CorruptionConfig | None = None,
+        cross_modal: bool = False,
     ):
         self.rig = rig
         self.n_frames = n_frames
         self.seed = seed
         self.corruption = corruption
+        # Cross-modal rig (the reference's multispectral use case,
+        # optimisation.cpp:150-228): the right camera observes the SAME
+        # geometry through a different modality — rendered as an inverted
+        # nonlinear intensity remap, under which intensity matching (ZNCC,
+        # KLT) anti-correlates while mutual information still peaks at the
+        # true disparity. Applied before photometric corruption.
+        self.cross_modal = cross_modal
         self.poses = (
             trajectory if trajectory is not None else kitti_like_trajectory(n_frames)
         )
@@ -313,6 +321,11 @@ class SyntheticStereoSequence:
         T_right = T.copy()
         T_right[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([self.rig.baseline, 0, 0])
         left, right = self._render(T, i), self._render(T_right, i)
+        if self.cross_modal:
+            # inverted + gamma-warped: monotone-DECREASING intensity map, so
+            # ZNCC anti-correlates; the nonlinearity keeps it from being a
+            # pure affine flip (which zero-mean matchers could still absorb)
+            right = 255.0 * (1.0 - (right / 255.0) ** 0.7)
         if self.corruption is not None:
             left = self._corrupt(left, i, 0)
             right = self._corrupt(right, i, 1)
