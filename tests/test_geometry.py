@@ -124,6 +124,39 @@ class TestCovariance:
         mc_cov = np.cov(np.asarray(deltas).T)
         np.testing.assert_allclose(np.asarray(out.cov), mc_cov, atol=3e-5)
 
+    def test_numpy_transport_parity_with_autodiff(self):
+        """The host-side float64 adjoint helpers (compose/invert_with_
+        covariance_np, used by the engines' pose-chain composition) must
+        agree with the autodiff jnp versions they mirror."""
+        # local RNG: the Monte-Carlo tests' tolerances depend on the shared
+        # module RNG's draw sequence, so don't consume from it here
+        rng = np.random.default_rng(11)
+        mk = lambda: geo.Pose(
+            q=lie.euler_to_quat(jnp.asarray(rng.uniform(-0.5, 0.5, 3),
+                                            jnp.float32)),
+            t=jnp.asarray(rng.normal(size=3), jnp.float32),
+        )
+        p1, p2 = mk(), mk()
+        C1 = np.diag(rng.uniform(0.5, 2.0, 6)).astype(np.float64) * 1e-4
+        C2 = np.diag(rng.uniform(0.5, 2.0, 6)).astype(np.float64) * 1e-4
+        out = geo.compose_with_covariance(
+            p1._replace(cov=jnp.asarray(C1, jnp.float32)),
+            p2._replace(cov=jnp.asarray(C2, jnp.float32)),
+        )
+        T1 = np.asarray(p1.matrix(), np.float64)
+        T2 = np.asarray(p2.matrix(), np.float64)
+        T_np, C_np = geo.compose_with_covariance_np(T1, C1, T2, C2)
+        np.testing.assert_allclose(T_np, np.asarray(out.matrix()), atol=1e-5)
+        np.testing.assert_allclose(C_np, np.asarray(out.cov),
+                                   atol=1e-8, rtol=1e-3)
+
+        inv = geo.invert_with_covariance(
+            p1._replace(cov=jnp.asarray(C1, jnp.float32)))
+        Ti_np, Ci_np = geo.invert_with_covariance_np(T1, C1)
+        np.testing.assert_allclose(Ti_np, np.asarray(inv.matrix()), atol=1e-5)
+        np.testing.assert_allclose(Ci_np, np.asarray(inv.cov),
+                                   atol=1e-8, rtol=1e-3)
+
     def test_invert_covariance_monte_carlo(self):
         p = random_pose()
         cov = jnp.asarray(self.SIG**2 * np.eye(6), jnp.float32)

@@ -72,7 +72,7 @@ class TestShardedSequence:
         keys = jax.random.split(jax.random.key(0), n_pairs)
 
         mesh = parallel.make_mesh(8)
-        poses, success, n_inl = parallel.sharded_sequence_vo(
+        poses, success, n_inl, covs = parallel.sharded_sequence_vo(
             parallel.shard_frames(ls[:-1], mesh),
             parallel.shard_frames(rs[:-1], mesh),
             parallel.shard_frames(ls[1:], mesh),
@@ -80,6 +80,12 @@ class TestShardedSequence:
             keys, cfg, mesh,
         )
         assert bool(jnp.all(success)), np.asarray(n_inl)
+        # per-motion covariances: finite, symmetric, plausible magnitude
+        # (sub-mm^2 translation variance on the clean world)
+        c = np.asarray(covs)
+        assert c.shape == (n_pairs, 6, 6) and np.isfinite(c).all()
+        np.testing.assert_allclose(c, np.swapaxes(c, 1, 2), atol=1e-8)
+        assert (np.trace(c, axis1=1, axis2=2) < 1e-2).all()
         est = np.concatenate([np.zeros((1, 3)), np.asarray(poses)[:, :3, 3]])
         gt = seq.gt_positions() - seq.gt_positions()[0]
         err = np.linalg.norm(est - gt, axis=-1).max()
@@ -155,6 +161,104 @@ class TestStitching:
         covs = jnp.stack([jnp.eye(6) * 1e-4, jnp.eye(6) * 1e2])
         w = np.asarray(stitching.weights_from_covariances(covs))
         assert w[0] > 1e3 * w[1]
+
+    def test_weighted_stitching_beats_uniform_on_degraded_overlap(self):
+        """One overlap candidate per boundary is corrupted (large pose
+        error) with a correspondingly large covariance: weighted fusion
+        must recover near-exactly where the uniform mean soaks the error
+        into every downstream segment's gauge (VERDICT r4 item 2)."""
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        segs, gt = self.make_segments(s=4, f=8, overlap=2)
+        segs = np.array(segs)  # writable copy
+        rng = np.random.default_rng(5)
+        covs_prev = np.tile(np.eye(6) * 1e-6, (3, 2, 1, 1))
+        covs_next = np.tile(np.eye(6) * 1e-6, (3, 2, 1, 1))
+        for b in range(3):
+            # corrupt the SECOND overlap frame as seen by the next segment
+            d = np.eye(4)
+            d[:3, 3] = rng.normal(scale=0.5, size=3)
+            segs[b + 1, 1] = segs[b + 1, 1] @ d
+            covs_next[b, 1] = np.eye(6) * 1.0  # and say so
+        w = np.stack([
+            stitching.overlap_weights_np(covs_prev[b], covs_next[b])
+            for b in range(3)
+        ])
+        want = np.linalg.inv(gt[0]) @ gt
+        out_u = np.asarray(stitching.stitch_segments(
+            jnp.asarray(segs, jnp.float32), overlap=2))
+        out_w = np.asarray(stitching.stitch_segments(
+            jnp.asarray(segs, jnp.float32), overlap=2,
+            overlap_weights=jnp.asarray(w, jnp.float32)))
+        err_u = np.linalg.norm(out_u[:, :3, 3] - want[:, :3, 3], axis=-1)
+        err_w = np.linalg.norm(out_w[:, :3, 3] - want[:, :3, 3], axis=-1)
+        # the corrupted frames themselves keep their local error; the GAUGE
+        # of downstream segments must not inherit it
+        assert err_w.max() < 0.05 * err_u.max(), (err_w.max(), err_u.max())
+
+    def test_covariance_circuit_end_to_end_degraded_frames(self):
+        """Full circuit on rendered frames: VO emits per-motion covariances
+        (StereoVOResult.cov) -> chained to per-frame pose covariances
+        (chain_covariances_np) -> overlap weights. A photometrically
+        destroyed overlap frame must make the covariance chain (and
+        therefore the fusion weights) discriminate the degraded overlap
+        candidates by orders of magnitude — the informativeness that the
+        controlled test above shows translating into stitching accuracy.
+        (A destroyed SHARED frame alone cannot demonstrate weighted-vs-
+        uniform end-to-end: both neighbors fail identically across it and
+        their identity-motion errors cancel in the alignment candidates.)"""
+        from uasl_motion_estimation_tpu.models.pipeline import vo_step
+        from uasl_motion_estimation_tpu.parallel import stitching
+
+        rig = CameraRig(fu=200.0, fv=200.0, cu=80.0, cv=48.0, baseline=0.5,
+                        height=96, width=160)
+        f, ov = 6, 3
+        n = 2 * f - ov  # two segments sharing ov frames
+        seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=6)
+        frames = [list(map(np.asarray, seq.frame(i))) for i in range(n)]
+        rng = np.random.default_rng(9)
+        mid = f - ov + 1  # middle overlap frame
+        for cam in (0, 1):  # destroy its pixels for both cameras
+            frames[mid][cam] = np.clip(
+                frames[mid][cam] * 0.15
+                + rng.normal(scale=60.0, size=frames[mid][cam].shape),
+                0, 255)
+        cfg = default_config(
+            geo.Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv), rig.baseline,
+            image_shape=(96, 160),
+        )._replace(max_features=128)
+
+        def run_segment(start):
+            motions, covs, succ = [], [], []
+            for i in range(start, start + f - 1):
+                out = vo_step(
+                    jnp.asarray(frames[i][0], jnp.float32),
+                    jnp.asarray(frames[i][1], jnp.float32),
+                    jnp.asarray(frames[i + 1][0], jnp.float32),
+                    jnp.asarray(frames[i + 1][1], jnp.float32),
+                    jax.random.key(100 + i), cfg)
+                m = np.asarray(out.motion, np.float64)
+                if not bool(out.success):
+                    m = np.eye(4)
+                motions.append(m)
+                covs.append(np.asarray(out.cov, np.float64))
+                succ.append(bool(out.success))
+            pose_cov = stitching.chain_covariances_np(motions, covs)
+            return pose_cov, succ
+
+        c0, succ0 = run_segment(0)
+        c1, succ1 = run_segment(f - ov)
+        # the motions across the destroyed frame degraded or failed
+        assert not (succ0[mid - 1] and succ0[mid]) or not (
+            succ1[mid - 1 - (f - ov)] and succ1[mid - (f - ov)])
+        w = stitching.overlap_weights_np(c0[f - ov:], c1[:ov])
+        # overlap frame 0 precedes the destroyed frame in both chains;
+        # frames 1..ov-1 inherit the destroyed motion's covariance
+        assert w[0] > 1e2 * w[1], w
+        assert w[0] > 1e2 * w[2], w
+        # and the clean candidate's chained uncertainty is small in absolute
+        # terms (the circuit stays informative, not just relative)
+        assert np.trace(c0[f - ov]) + np.trace(c1[0]) < 1e-2
 
 
 class TestShardedUnified:

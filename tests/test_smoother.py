@@ -96,6 +96,30 @@ def test_full_system_corrupted_world_ba_earns_keep():
     assert ate_ba < 0.08, ate_ba
 
 
+def test_covariance_outputs_emitted_and_chained():
+    """The engine emits the covariance circuit end-to-end (VERDICT r4
+    item 2): per-window BA camera covariances -> installed-motion
+    covariances -> float64-chained per-frame pose covariance."""
+    res, ate_vo, ate_ba = run_world(None)
+    n = res.traj_ba.shape[0]
+    assert res.motion_cov.shape == (n - 1, 6, 6)
+    assert res.pose_cov.shape == (n, 6, 6)
+    assert np.isfinite(res.motion_cov).all() and np.isfinite(res.pose_cov).all()
+    # symmetric, PSD-ish motion covariances of plausible magnitude
+    np.testing.assert_allclose(
+        res.motion_cov, np.swapaxes(res.motion_cov, 1, 2), atol=1e-7)
+    tr_m = np.trace(res.motion_cov, axis1=1, axis2=2)
+    assert (tr_m > 0).all() and (tr_m < 1.0).all(), tr_m
+    # chained pose uncertainty starts at the gauge anchor (zero) and
+    # accumulates along the chain (trace is not strictly monotone under
+    # adjoint transport — the translation block mixes with rotation — but
+    # must grow overall)
+    tr_p = np.trace(res.pose_cov, axis1=1, axis2=2)
+    assert tr_p[0] == 0.0
+    assert (tr_p[1:] > 0).all(), tr_p
+    assert tr_p[-1] > tr_p[1]
+
+
 def test_track_gate_rejects_moving_objects():
     """Without the pre-BA track gate the moving-object tracks drag the
     window optimum (measured ATE degradation); with it BA improves. Run the

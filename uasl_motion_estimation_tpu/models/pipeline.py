@@ -46,6 +46,7 @@ class FrameOutput(NamedTuple):
     n_matches: jax.Array
     n_inliers: jax.Array
     mean_reproj_error: jax.Array
+    cov: jax.Array  # (6,6) motion covariance ([dt, dtheta] tangent)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -88,6 +89,7 @@ def vo_step(
         n_matches=jnp.sum(qm.valid),
         n_inliers=res.n_inliers,
         mean_reproj_error=res.mean_reproj_error,
+        cov=res.cov,
     )
 
 
@@ -130,6 +132,7 @@ def _vo_step_shared(
         n_matches=jnp.sum(qm.valid),
         n_inliers=res.n_inliers,
         mean_reproj_error=res.mean_reproj_error,
+        cov=res.cov,
     )
 
 

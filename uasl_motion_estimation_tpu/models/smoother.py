@@ -47,7 +47,13 @@ import numpy as np
 from ..ops import geometry as geo
 from ..ops import image as im
 from ..ops import lie
-from ..solvers.ba import BAConfig, BAProblem, ba_solve, gate_tracks
+from ..solvers.ba import (
+    BAConfig,
+    BAProblem,
+    ba_camera_covariances,
+    ba_solve,
+    gate_tracks,
+)
 from . import frontend as fe
 from .pipeline import PipelineConfig
 from .stereo_vo import stereo_vo_solve
@@ -273,6 +279,14 @@ class FullSystemResult(NamedTuple):
     ba_cost: np.ndarray  # (K,)
     ba_converged: np.ndarray  # (K,)
     n_track_obs: np.ndarray  # (K,)
+    # per-INSTALLED-motion covariance ([dt, dtheta] tangent): BA motion
+    # covariance where a refinement was installed, VO solve covariance
+    # otherwise (B, 6, 6)
+    motion_cov: np.ndarray
+    # per-frame pose covariance along traj_ba, chained in float64 with the
+    # adjoint transport of ops/geometry (the reference's CamPose-chain
+    # covariance calculus, feature_types.cpp:172-241) (N, 6, 6)
+    pose_cov: np.ndarray
 
 
 # ---------------------------------------------------------------------------
@@ -327,6 +341,44 @@ class UnifiedOutput(NamedTuple):
     ba_converged: jax.Array  # (K,)
     n_track_obs: jax.Array  # (K,)
     n_frame_obs: jax.Array  # (K, W) gated observations per window frame
+    # Covariance outputs (VERDICT r4 item 2 — the covariance calculus
+    # driven end-to-end):
+    vo_cov: jax.Array  # (K, W-1, 6, 6) VO motion covariances ([dt, dtheta])
+    cam_cov: jax.Array  # (K, W, 6, 6) BA camera covariances (cam6 params,
+    # extract_covariance parity, BundleAdjuster.h:478-528; gauge frame = 0)
+    ba_motion_cov: jax.Array  # (K, W-1, 6, 6) refined-motion covariances
+    # ([dt, dtheta] tangent; independent-camera first-order contraction)
+
+
+def _motion_covs_from_cam_covs(cam: jax.Array, cam_cov: jax.Array
+                               ) -> jax.Array:
+    """(W, 6) cam params + (W, 6, 6) camera covariances -> (W-1, 6, 6)
+    covariances of the step motions m_j = T_{j+1} T_j^{-1} on the
+    [dt, dtheta] right tangent.
+
+    First-order contraction with an autodiff jacobian of the motion wrt
+    BOTH endpoint cameras' parameters, treating the cameras as independent
+    (the reduced camera system correlates neighboring cameras positively,
+    so this overestimates — conservative for downstream weighting). The
+    reference emits per-camera covariances only (extract_covariance) and
+    leaves motion covariance to its consumer's CamPose calculus
+    (feature_types.cpp:172-241); this is that step, on-device."""
+
+    def one(c_j, c_j1, C_j, C_j1):
+        m0 = _T_from_cam6(c_j1) @ _inv_se3(_T_from_cam6(c_j))
+        m0_inv = _inv_se3(m0)
+
+        def delta(d):
+            mm = (_T_from_cam6(c_j1 + d[6:])
+                  @ _inv_se3(_T_from_cam6(c_j + d[:6])))
+            dM = m0_inv @ mm
+            return jnp.concatenate([dM[:3, 3], lie.so3_log(dM[:3, :3])])
+
+        J = jax.jacfwd(delta)(jnp.zeros(12, cam.dtype))
+        return (J[:, :6] @ C_j @ J[:, :6].T
+                + J[:, 6:] @ C_j1 @ J[:, 6:].T)
+
+    return jax.vmap(one)(cam[:-1], cam[1:], cam_cov[:-1], cam_cov[1:])
 
 
 def unified_solve_group(
@@ -379,6 +431,10 @@ def unified_solve_group(
         lambda m, o, msk: _init_window_problem_local(m, o, msk, cfg)
     )(motions_local, obs, mask)
     res = jax.vmap(lambda pr: ba_solve(pr, ba_cfg))(problems)
+    # covariance outputs at the solved cameras (extract_covariance parity)
+    solved = problems._replace(cam=res.cam, pts=res.pts)
+    cam_cov = jax.vmap(lambda pr: ba_camera_covariances(pr, ba_cfg))(solved)
+    ba_motion_cov = jax.vmap(_motion_covs_from_cam_covs)(res.cam, cam_cov)
     # refined window motions m_j = T_{j+1} @ inv(T_j). MUST be fenced
     # to full f32: default bf16-pass 4x4 matmuls put ~0.1-0.2 deg of
     # spurious rotation per motion on an exactly-converged BA solution
@@ -396,7 +452,7 @@ def unified_solve_group(
         motions_local, vo.success,
         jnp.sum(qvalid, axis=-1).astype(jnp.int32), vo.n_inliers,
         vo.mean_reproj_error, ref, res.cost, res.converged, n_obs,
-        n_frame,
+        n_frame, vo.cov, cam_cov, ba_motion_cov,
     )
 
 
@@ -429,10 +485,12 @@ def unified_system_scan(
         z0 = jnp.zeros((0, W - 1), jnp.float32)
         z4 = jnp.zeros((0, W - 1, 4, 4), jnp.float32)
         zk = jnp.zeros((0,), jnp.float32)
+        z6 = jnp.zeros((0, W - 1, 6, 6), jnp.float32)
         return UnifiedOutput(
             z4, z0.astype(bool), z0.astype(jnp.int32), z0.astype(jnp.int32),
             z0, z4, zk, zk.astype(bool), zk.astype(jnp.int32),
             jnp.zeros((0, W), jnp.int32),
+            z6, jnp.zeros((0, W, 6, 6), jnp.float32), z6,
         )
     g = -(-k // wchunk)
     starts = jnp.asarray(
@@ -484,6 +542,9 @@ def _compose_from_chunks(
     W = cfg.window
     motions = np.tile(np.eye(4), (b, 1, 1))
     packed = np.zeros((b, 20), np.float32)
+    # installed-motion covariances: start at the uninformative prior the
+    # failed-solve contract uses (StereoVOResult.cov semantics)
+    motion_cov = np.tile(np.eye(6) * 1e2, (b, 1, 1))
     # Support key of the installed VO motion: (success, inliers). Success
     # leads — a failed solve's motion was already replaced with identity
     # (unified_solve_group degraded contract), so a high-inlier FAILED
@@ -491,8 +552,8 @@ def _compose_from_chunks(
     # would install identity where a valid estimate exists); among equal
     # success, more RANSAC inliers wins.
     best_vo = [(-1, -1)] * b
-    # BA candidates per motion: (endpoint support, refined, window VO)
-    ba_cands: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
+    # BA candidates per motion: (endpoint support, refined, window VO, cov)
+    ba_cands: dict[int, list] = {}
     ba_cost, ba_conv, n_track = [], [], []
 
     for out, g_starts, n_valid in chunks:
@@ -503,6 +564,8 @@ def _compose_from_chunks(
         n_matches = np.asarray(out.vo_n_matches)
         n_inliers = np.asarray(out.vo_n_inliers)
         vo_err = np.asarray(out.vo_err)
+        vo_cov = np.asarray(out.vo_cov, np.float64)
+        ba_mcov = np.asarray(out.ba_motion_cov, np.float64)
         for i, s in enumerate(g_starts):
             for j in range(W - 1):
                 m = s + j
@@ -512,6 +575,7 @@ def _compose_from_chunks(
                 if key > best_vo[m]:
                     best_vo[m] = key
                     motions[m] = vo_m[i, j]
+                    motion_cov[m] = vo_cov[i, j]
                     packed[m, :16] = vo_m[i, j].reshape(16)
                     packed[m, 16] = float(succ[i, j])
                     packed[m, 17] = float(n_matches[i, j])
@@ -520,7 +584,7 @@ def _compose_from_chunks(
                 support = int(min(nfo[i, j], nfo[i, j + 1]))
                 if support >= cfg.min_frame_obs:
                     ba_cands.setdefault(m, []).append(
-                        (support, refined[i, j], vo_m[i, j])
+                        (support, refined[i, j], vo_m[i, j], ba_mcov[i, j])
                     )
         ba_cost.append(np.asarray(out.ba_cost))
         ba_conv.append(np.asarray(out.ba_converged))
@@ -535,10 +599,12 @@ def _compose_from_chunks(
         return fu * (dt / cfg.install_disc_depth_m + ang)
 
     motions_ba = motions.copy()
+    motion_cov_ba = motion_cov.copy()
     for m, cands in ba_cands.items():
-        for _, ref, win_vo in sorted(cands, key=lambda c: -c[0]):
+        for _, ref, win_vo, mcov in sorted(cands, key=lambda c: -c[0]):
             if discrepancy_px(ref, win_vo) <= cfg.install_disc_px:
                 motions_ba[m] = ref
+                motion_cov_ba[m] = mcov
                 break
 
     def chain(ms):
@@ -548,6 +614,8 @@ def _compose_from_chunks(
             traj[i + 1] = traj[i] @ np.linalg.inv(ms[i])
         return traj
 
+    from ..parallel.stitching import chain_covariances_np
+
     return FullSystemResult(
         traj_vo=chain(motions),
         traj_ba=chain(motions_ba),
@@ -555,6 +623,8 @@ def _compose_from_chunks(
         ba_cost=np.concatenate(ba_cost),
         ba_converged=np.concatenate(ba_conv),
         n_track_obs=np.concatenate(n_track),
+        motion_cov=motion_cov_ba,
+        pose_cov=chain_covariances_np(motions_ba, motion_cov_ba),
     )
 
 
@@ -709,6 +779,8 @@ def run_unified_streaming(
             per_frame=np.zeros((0, 20), np.float32),
             ba_cost=np.zeros(0), ba_converged=np.zeros(0, bool),
             n_track_obs=np.zeros(0, np.int32),
+            motion_cov=np.zeros((0, 6, 6)),
+            pose_cov=np.zeros((1, 6, 6)),
         )
 
     # compose RELATIVE to start_frame (keys stayed global via index_offset)
@@ -737,6 +809,16 @@ def merge_unified_results(
     def chain(ta, tb):
         return np.concatenate([ta[: at + 1], ta[at] @ tb[1:]])
 
+    # transport b's pose covariances (relative to its own gauge, zero at
+    # frame 0) past a's boundary covariance: C = Ad(Tb^-1) C_at Ad^T + C_b
+    from ..ops.geometry import se3_adjoint_np
+
+    C_at = a.pose_cov[at]
+    cov_tail = np.empty((b.pose_cov.shape[0] - 1, 6, 6))
+    for k in range(1, b.pose_cov.shape[0]):
+        Ad = se3_adjoint_np(np.linalg.inv(b.traj_ba[k]))
+        cov_tail[k - 1] = Ad @ C_at @ Ad.T + b.pose_cov[k]
+
     return FullSystemResult(
         traj_vo=chain(a.traj_vo, b.traj_vo),
         traj_ba=chain(a.traj_ba, b.traj_ba),
@@ -744,4 +826,6 @@ def merge_unified_results(
         ba_cost=np.concatenate([a.ba_cost, b.ba_cost]),
         ba_converged=np.concatenate([a.ba_converged, b.ba_converged]),
         n_track_obs=np.concatenate([a.n_track_obs, b.n_track_obs]),
+        motion_cov=np.concatenate([a.motion_cov[:at], b.motion_cov]),
+        pose_cov=np.concatenate([a.pose_cov[: at + 1], cov_tail]),
     )

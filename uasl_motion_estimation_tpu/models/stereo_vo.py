@@ -84,6 +84,19 @@ class StereoVOResult(NamedTuple):
     success: jax.Array  # () bool
     stop: jax.Array  # () StopCondition of the final refinement
     mean_reproj_error: jax.Array  # () mean squared reprojection error (inliers)
+    # (6, 6) first-order covariance of the MOTION on the [dt, dtheta]
+    # tangent: sigma^2 (J^T J)^-1 at the solution (sigma^2 = mean squared
+    # inlier residual), reordered from the solver's [euler, t] state with
+    # the small-angle euler ~= rotvec identification (per-frame rotations
+    # are < a few degrees; exact at 0). Failed solves carry a large
+    # diagonal (the installed identity motion is uninformative) so
+    # covariance consumers (weighted stitching, chained pose covariance)
+    # down-weight them without a separate success check. The reference
+    # computes nothing like this for VO — its covariance sources are the
+    # config's feat_cov and BA's extract_covariance — but its pose chain
+    # carries 6x6 covariances (CamPose, feature_types.h:201-268), and
+    # this is the chain's per-motion input.
+    cov: jax.Array
 
 
 def _transform(state: jax.Array, pts3: jax.Array) -> jax.Array:
@@ -383,6 +396,19 @@ def _stereo_vo_impl(
     )
     state = jnp.where(success, result.x, init)
     motion = _motion_matrix(state)
+
+    # motion covariance: sigma^2 (J^T J)^-1 at the solution, reordered from
+    # state [euler(3), t(3)] to the [dt(3), dtheta(3)] pose tangent (see
+    # StereoVOResult.cov). One extra 6x6 normal-equation evaluation.
+    JJ, _, _ = _normal_eq(state, pts3, obs, w_final, p)
+    sigma2 = jnp.maximum(result.cost, 1e-8)
+    cov_state = sigma2 * jnp.linalg.inv(
+        JJ + 1e-9 * jnp.eye(6, dtype=dtype)
+    )
+    perm = jnp.array([3, 4, 5, 0, 1, 2])
+    cov = cov_state[perm][:, perm]
+    cov = jnp.where(success, cov, 1e2 * jnp.eye(6, dtype=dtype))
+
     return StereoVOResult(
         state=state,
         motion=motion,
@@ -391,6 +417,7 @@ def _stereo_vo_impl(
         success=success,
         stop=result.stop,
         mean_reproj_error=result.cost,
+        cov=cov,
     )
 
 

@@ -238,6 +238,53 @@ def scale_pose_with_covariance(p: Pose, scale: jax.Array, scale_var: jax.Array) 
     return Pose(out.q, out.t, J @ aug @ J.T)
 
 
+# ---------------------------------------------------------------------------
+# Host-side (numpy, float64) covariance transport
+# ---------------------------------------------------------------------------
+#
+# The engines compose their final pose chains on the host in float64 (the
+# round-4 precision lesson); carrying pose covariance along that chain needs
+# the same transport OFF-device, per-frame, without a dispatch each step.
+# These closed-form adjoint helpers are the numpy counterparts of the
+# autodiff versions above ([dt, dtheta] right-perturbation tangent,
+# poseMultiplicationWithCovariance / invertPoseWithCovariance semantics,
+# feature_types.cpp:172-241) and are parity-tested against them
+# (tests/test_geometry.py).
+
+import numpy as _onp
+
+
+def se3_adjoint_np(T: _onp.ndarray) -> _onp.ndarray:
+    """(4, 4) -> (6, 6) adjoint on the [dt, dtheta] right tangent:
+    T exp(xi) = exp(Ad_T xi) T, with Ad = [[R, [t]x R], [0, R]]."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    tx = _onp.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]],
+                    dtype=_onp.float64)
+    A = _onp.zeros((6, 6))
+    A[:3, :3] = R
+    A[:3, 3:] = tx @ R
+    A[3:, 3:] = R
+    return A
+
+
+def compose_with_covariance_np(
+    Ta: _onp.ndarray, Ca: _onp.ndarray, Tb: _onp.ndarray, Cb: _onp.ndarray
+) -> tuple[_onp.ndarray, _onp.ndarray]:
+    """(Ta @ Tb, covariance) under independent right-tangent covariances:
+    C = Ad(Tb^-1) Ca Ad(Tb^-1)^T + Cb."""
+    J = se3_adjoint_np(_onp.linalg.inv(Tb))
+    return Ta @ Tb, J @ Ca @ J.T + Cb
+
+
+def invert_with_covariance_np(
+    T: _onp.ndarray, C: _onp.ndarray
+) -> tuple[_onp.ndarray, _onp.ndarray]:
+    """(T^-1, Ad(T) C Ad(T)^T)."""
+    A = se3_adjoint_np(T)
+    return _onp.linalg.inv(T), A @ C @ A.T
+
+
 def relative_scale(pts_a: jax.Array, pts_b: jax.Array, mask: jax.Array | None = None
                    ) -> jax.Array:
     """Median ratio of pairwise distances between two 3D point sets.

@@ -121,7 +121,9 @@ def sharded_sequence_vo(
       mesh: 1-D mesh whose axis shards the frame/batch dimension.
 
     Returns (poses (B, 4, 4) cam-to-world relative to frame 0, success (B,),
-    n_inliers (B,)).
+    n_inliers (B,), motion_cov (B, 6, 6) per-motion covariance on the
+    [dt, dtheta] tangent — failed frames carry the large-diagonal
+    uninformative covariance, see StereoVOResult.cov).
     """
     from ..models.pipeline import vo_step  # local import to avoid cycle
 
@@ -135,14 +137,14 @@ def sharded_sequence_vo(
         eye = jnp.eye(4, dtype=out.motion.dtype)
         motion = jnp.where(out.success[:, None, None], out.motion, eye)
         poses = _sharded_chain_body(jnp.linalg.inv(motion), axis_name)
-        return poses, out.success, out.n_inliers
+        return poses, out.success, out.n_inliers, out.cov
 
     fn = jax.shard_map(
         per_segment,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         # the solver's loop carries mix unvarying constants (init state) with
         # device-varying data, which the VMA type check rejects; correctness
         # here only needs the explicit all_gather in the chain scan

@@ -73,6 +73,49 @@ def weights_from_covariances(covs: jax.Array) -> jax.Array:
     )
 
 
+def chain_covariances_np(motions, motion_covs):
+    """Pose covariance along the chain traj[i+1] = traj[i] @ inv(m_i).
+
+    Host-side float64 (the chain itself is composed on the host in float64
+    — round-4 precision lesson). ``motions`` (B, 4, 4) frame-to-frame,
+    ``motion_covs`` (B, 6, 6) per-motion [dt, dtheta]-tangent covariances
+    (e.g. StereoVOResult.cov). Returns (B + 1, 6, 6): traj[0] is the gauge
+    anchor with zero covariance; transport uses the adjoint helpers of
+    ops/geometry.py (parity-tested vs the autodiff propagation, i.e. the
+    reference's poseMultiplicationWithCovariance calculus,
+    feature_types.cpp:172-241).
+    """
+    import numpy as np
+
+    from ..ops.geometry import (
+        compose_with_covariance_np,
+        invert_with_covariance_np,
+    )
+
+    b = len(motions)
+    out = np.zeros((b + 1, 6, 6))
+    T = np.eye(4)
+    C = np.zeros((6, 6))
+    for i in range(b):
+        inv_m, C_inv = invert_with_covariance_np(
+            np.asarray(motions[i], np.float64),
+            np.asarray(motion_covs[i], np.float64),
+        )
+        T, C = compose_with_covariance_np(T, C, inv_m, C_inv)
+        out[i + 1] = C
+    return out
+
+
+def overlap_weights_np(cov_prev, cov_next):
+    """(K, 6, 6) x2 -> (K,) weights combining BOTH sides' overlap-frame
+    uncertainties: w_k = 1 / (tr(C_prev_k) + tr(C_next_k))."""
+    import numpy as np
+
+    tr = (np.trace(np.asarray(cov_prev), axis1=-2, axis2=-1)
+          + np.trace(np.asarray(cov_next), axis1=-2, axis2=-1))
+    return 1.0 / np.maximum(tr, 1e-12)
+
+
 import functools
 
 

@@ -351,5 +351,22 @@ def ba_camera_covariances(problem: BAProblem, cfg: BAConfig) -> jax.Array:
     S = S * free[:, None, None, None] * free[None, None, :, None]
     S = S + jnp.einsum("wv,ij->wivj", jnp.diag(1.0 - free),
                        jnp.eye(6, dtype=U.dtype))
-    Sinv = jnp.linalg.inv(S.reshape(W * 6, W * 6)).reshape(W, 6, W, 6)
-    return jnp.einsum("wiwj->wij", Sinv)
+    Sf = S.reshape(W * 6, W * 6)
+    # relative Tikhonov: a window frame with almost no surviving gated
+    # observations makes S near-singular and its f32 inverse indefinite
+    # (negative diagonal "variances" — observed on the corrupted world)
+    eps = 1e-6 * jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(Sf))), 1.0)
+    Sf = Sf + eps * jnp.eye(W * 6, dtype=U.dtype)
+    Sinv = jnp.linalg.inv(Sf).reshape(W, 6, W, 6)
+    cov = jnp.einsum("wiwj->wij", Sinv)
+    # symmetrize + project to PSD (clip the eigenvalue range): downstream
+    # consumers (weights, chained propagation) need valid covariances even
+    # from degenerate windows, where "huge" is informative but "negative"
+    # is poison
+    cov = 0.5 * (cov + jnp.swapaxes(cov, -1, -2))
+    eig, vec = jnp.linalg.eigh(cov)
+    eig = jnp.clip(eig, 0.0, 1e4)
+    cov = jnp.einsum("wij,wj,wkj->wik", vec, eig, vec)
+    # fixed (gauge) frames are exactly known: zero covariance, not the
+    # placeholder identity their masked normal-equation rows would imply
+    return cov * free[:, None, None]
