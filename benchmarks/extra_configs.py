@@ -401,8 +401,17 @@ def bench_mono():
     frames = [seq.frame(i)[0] for i in range(n)]  # left camera only
     gt = seq.gt_positions()
 
+    # reference CPU mono baseline (measure_reference_mono.py; same world,
+    # same initial speed)
+    ref_path = REPO / "benchmarks" / "reference_cpu_mono.json"
+    ref = json.loads(ref_path.read_text()) if ref_path.exists() else None
+
+    from uasl_motion_estimation_tpu.models.mono_pipeline import (
+        run_mono_staged,
+    )
+
     out = {}
-    for solver in ("5point", "pencil8"):
+    for solver in ("pencil8", "5point", "hybrid"):
         cfg = MonoPipelineConfig(
             vo=MonoVOParams(
                 intr=Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv),
@@ -411,31 +420,45 @@ def bench_mono():
             ),
             max_features=256,
         )
-        pipe = MonoOdometryPipeline(cfg, seed=0, initial_speed=0.8)
+        # staged engine (single dispatch, VERDICT r4 item 4b)
         t0 = time.perf_counter()
-        pipe.run(frames)  # warm/compile
+        run_mono_staged(frames, cfg, seed=0, initial_speed=0.8)
         t_compile = time.perf_counter() - t0
-        times = []
-        traj = None
+        times, traj = [], None
         for _ in range(3):
-            pipe.reset()
             t0 = time.perf_counter()
-            traj = pipe.run(frames)
+            traj = run_mono_staged(frames, cfg, seed=0, initial_speed=0.8)
             times.append(time.perf_counter() - t0)
         fps = (n - 1) / float(np.median(times))
-        out[solver] = {
-            "fps": round(fps, 2),
+        row = {
+            "fps_staged": round(fps, 2),
             "ate_m": round(
                 float(ate_rmse(traj[:, :3, 3], gt[:, :3])), 4),
             "compile_plus_first_run_s": round(t_compile, 1),
         }
+        if ref:
+            row["vs_baseline"] = round(fps / ref["fps"], 2)
+        # latency mode (per-frame host loop) for the default solver only
+        if solver == "pencil8":
+            pipe = MonoOdometryPipeline(cfg, seed=0, initial_speed=0.8)
+            pipe.run(frames)  # warm
+            pipe.reset()
+            t0 = time.perf_counter()
+            traj_l = pipe.run(frames)
+            row["fps_per_frame_loop"] = round(
+                (n - 1) / (time.perf_counter() - t0), 2)
+        out[solver] = row
     result = {
-        "metric": "mono VO pipeline frames/s (752x480, 256 feats, "
-                  "5-point default vs pencil8)",
-        "value": out["5point"]["fps"], "unit": "frames/s",
+        "metric": "mono VO staged-engine frames/s (752x480, 256 feats)",
+        "value": out["hybrid"]["fps_staged"], "unit": "frames/s",
+        "vs_baseline": out["hybrid"].get("vs_baseline"),
+        "reference_cpu_mono": ref,
         "per_solver": out,
-        "note": "per-frame host-loop dispatch (mono pipeline); the 5-point "
-                "is the MonoVOParams default as in the reference",
+        "note": "staged single-dispatch scan (run_mono_staged); hybrid = "
+                "pencil8 with lax.cond 5-point escalation on inlier "
+                "collapse; reference baseline is the unmodified library "
+                "mono path (findEssentialMat+recoverPose) with its OpenCV "
+                "consumer front-end on the same frames",
     }
     print(json.dumps(result))
     return result

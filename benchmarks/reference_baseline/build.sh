@@ -36,3 +36,18 @@ g++ -O3 -march=native -std=c++11 -Wno-comment \
     -lopencv_calib3d \
     -o "$OUT"
 echo "built $OUT"
+
+# mono harness (MonoVisualOdometry is untouched by the stereo repair)
+if [ "${MONO:-1}" = "1" ]; then
+    g++ -O3 -march=native -std=c++11 -Wno-comment \
+        -I"$REF/include/MotionEstimation" \
+        "$HERE/main_mono.cpp" \
+        "$REF/src/core/rotation_utils.cpp" \
+        "$REF/src/core/feature_types.cpp" \
+        "$REF/src/vo/MonoVisualOdometry.cpp" \
+        $(pkg-config --cflags opencv4) \
+        -lopencv_core -lopencv_imgproc -lopencv_imgcodecs -lopencv_video \
+        -lopencv_calib3d \
+        -o "$HERE/ref_mono"
+    echo "built $HERE/ref_mono"
+fi

@@ -190,6 +190,46 @@ class TestMonoVO:
         # the ~60% the pencil needs)
         assert run("5point", 0.65, seeds) >= 0.75
 
+    def test_hybrid_solver_escalates_only_when_needed(self):
+        """Hybrid policy (VERDICT r4 item 4c): identical to pencil8 on easy
+        frames (the 5-point branch never wins there) and 5-point-grade
+        robustness at a 65% outlier rate where the pencil collapses."""
+        n, H = 200, 40
+
+        def run(solver, rate, seeds):
+            params = MonoVOParams(
+                intr=INTR, inlier_threshold=2.0, solver=solver, n_ransac=H
+            )
+            wins = 0
+            results = []
+            for seed in seeds:
+                matches, R, t, _ = make_two_view(noise=0.3, seed=seed)
+                rng = np.random.default_rng(1000 + seed)
+                nbad = int(rate * n)
+                bad = rng.choice(n, nbad, replace=False)
+                matches[bad, 1] = np.stack(
+                    [rng.uniform(0, 640, nbad), rng.uniform(0, 480, nbad)], -1
+                ).astype(np.float32)
+                res = mono_vo_solve(
+                    jnp.asarray(matches), jnp.ones(n, bool),
+                    jax.random.key(seed), params,
+                )
+                results.append(res)
+                cosang = (np.trace(np.asarray(res.R).T @ R) - 1.0) / 2.0
+                wins += np.degrees(np.arccos(np.clip(cosang, -1, 1))) < 1.0
+            return wins / len(seeds), results
+
+        seeds = range(8)
+        # easy regime: hybrid == pencil8 bit-for-bit (same key, no
+        # escalation)
+        _, r_hyb = run("hybrid", 0.10, seeds)
+        _, r_p8 = run("pencil8", 0.10, seeds)
+        for a, b in zip(r_hyb, r_p8):
+            np.testing.assert_array_equal(np.asarray(a.R), np.asarray(b.R))
+        # collapsed regime: hybrid inherits the 5-point's robustness
+        rate_hyb, _ = run("hybrid", 0.65, seeds)
+        assert rate_hyb >= 0.75, rate_hyb
+
     def test_relative_scale_parity(self):
         """findRelativeScale capability (MonoVisualOdometry.cpp:76-87)."""
         _, _, _, pts = make_two_view()
@@ -230,3 +270,50 @@ class TestMonoPipeline:
         dist = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
         ate = ate_rmse(traj[:, :3, 3], gt, with_scale=True)
         assert ate < 0.05 * dist, f"similarity-ATE {ate:.3f} over {dist:.1f} m"
+
+    def test_staged_engine_matches_per_frame(self):
+        """The staged single-dispatch mono scan must reproduce the per-frame
+        host loop (same global-index keys; uint8 wire quantization is the
+        only difference) and recover the trajectory (VERDICT r4 item 4b)."""
+        from uasl_motion_estimation_tpu.models.mono_pipeline import (
+            MonoOdometryPipeline,
+            MonoPipelineConfig,
+            run_mono_staged,
+        )
+        from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+        from uasl_motion_estimation_tpu.utils.synthetic import (
+            CameraRig,
+            SyntheticStereoSequence,
+        )
+
+        rig = CameraRig(fu=320.0, fv=320.0, cu=160.0, cv=96.0, baseline=0.54,
+                        height=192, width=320)
+        n = 10
+        seq = SyntheticStereoSequence(n_frames=n, rig=rig, seed=3)
+        # quantize to the wire format for BOTH engines so the comparison is
+        # solver-for-solver, not pixel-rounding
+        frames = [np.clip(seq.frame(i)[0], 0, 255).astype(np.uint8)
+                  .astype(np.float32) for i in range(n)]
+        cfg = MonoPipelineConfig(
+            vo=MonoVOParams(
+                intr=geo.Intrinsics(rig.fu, rig.fv, rig.cu, rig.cv),
+                inlier_threshold=2.0,
+            ),
+            max_features=256,
+        )
+        traj_staged = run_mono_staged(frames, cfg, seed=0,
+                                      initial_speed=0.8, chunk=3)
+        pipe = MonoOdometryPipeline(cfg, seed=0, initial_speed=0.8)
+        traj_loop = pipe.run(frames)
+        assert traj_staged.shape == traj_loop.shape == (n, 4, 4)
+        # same keys, same algorithm; the engines differ only in
+        # vectorization context (chunk-vmapped vs single step), where XLA's
+        # fusion choices shift f32 rounding enough to flip RANSAC inlier
+        # tie-breaks on a handful of steps — trajectory-level agreement,
+        # not bit identity, is the contract
+        dev = np.max(np.abs(traj_staged[:, :3, 3] - traj_loop[:, :3, 3]))
+        assert dev < 0.05, dev
+        gt = seq.gt_positions()
+        for traj in (traj_staged, traj_loop):
+            ate = ate_rmse(traj[:, :3, 3], gt)
+            assert ate < 0.12, ate

