@@ -47,6 +47,8 @@ system = OdometrySystem(
         max_tracks=session.tracking.nb_feats,
         window=session.tracking.window_size,
         ba_rate=session.tracking.ba_rate,
+        # TrackingInfo.parallax drives the keyframe gate (file_IO.h:73)
+        parallax=session.tracking.parallax,
         n_fixed=cal.nb_fixed_frames,
         matcher=MatcherConfig(),
     ),

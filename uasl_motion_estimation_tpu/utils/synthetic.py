@@ -127,6 +127,50 @@ def kitti_like_trajectory(n_frames: int, speed: float = 0.8,
     return poses
 
 
+def stress_trajectory(kind: str, n_frames: int, speed: float = 0.8,
+                      turn_rate_deg: float = 10.0) -> np.ndarray:
+    """(N, 4, 4) adversarial trajectories (VERDICT r4 item 5 — the committed
+    worlds were all gentle forward motion, while the stated benchmark domain
+    includes near-stop 90-degree turns and pure-rotation segments):
+
+    * "sharp_turn": forward driving with a 90-degree turn at 10 deg/frame in
+      the middle third (urban corner at speed);
+    * "near_stop": decelerate to ~1 cm/frame for the middle third (traffic
+      stop) with residual yaw jitter, then resume;
+    * "pure_rotation": full stop + 4 deg/frame yaw-in-place stretch (the
+      classic stereo-VO degenerate regime: no translation, disparity priors
+      stale, KLT flow is pure rotation).
+    """
+    poses = np.zeros((n_frames, 4, 4))
+    pos = np.zeros(3)
+    yaw = 0.0
+    third = n_frames // 3
+    for i in range(n_frames):
+        if kind == "sharp_turn":
+            v = speed
+            n_turn = int(round(90.0 / turn_rate_deg))
+            dyaw = (np.deg2rad(turn_rate_deg)
+                    if third <= i < third + n_turn else 0.0)
+        elif kind == "near_stop":
+            in_stop = third <= i < 2 * third
+            v = 0.01 if in_stop else speed
+            dyaw = 0.002 * np.sin(0.7 * i) if in_stop else 0.0
+        elif kind == "pure_rotation":
+            in_rot = third <= i < 2 * third
+            v = 0.0 if in_rot else speed
+            dyaw = np.deg2rad(4.0) if in_rot else 0.0
+        else:
+            raise ValueError(f"unknown stress kind {kind!r}")
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = R
+        poses[i, :3, 3] = pos
+        pos = pos + v * (R @ np.array([0.0, 0.0, 1.0]))
+        yaw += dyaw
+    return poses
+
+
 class SyntheticStereoSequence:
     """Renders (left, right) uint8-range float32 frames plus exact GT poses."""
 
@@ -139,11 +183,20 @@ class SyntheticStereoSequence:
         tex_size: int = 1024,
         corruption: CorruptionConfig | None = None,
         cross_modal: bool = False,
+        low_texture_band: tuple[float, float] | None = None,
+        low_texture_contrast: float = 0.08,
+        hall_half_width: float = 12.0,
     ):
         self.rig = rig
         self.n_frames = n_frames
         self.seed = seed
         self.corruption = corruption
+        # Low-texture stretch (VERDICT r4 item 5): within world-z in
+        # ``low_texture_band``, every surface's texture contrast collapses
+        # to ``low_texture_contrast`` of normal — a featureless corridor
+        # section that starves detection and weakens KLT/ZNCC signal.
+        self.low_texture_band = low_texture_band
+        self.low_texture_contrast = low_texture_contrast
         # Cross-modal rig (the reference's multispectral use case,
         # optimisation.cpp:150-228): the right camera observes the SAME
         # geometry through a different modality — rendered as an inverted
@@ -162,12 +215,15 @@ class SyntheticStereoSequence:
             _Plane(np.array([0.0, 1.7, 0.0]), np.array([0.0, -1.0, 0.0]),
                    np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]), mk(),
                    tex_size / big),
-            # left wall at x = -12
-            _Plane(np.array([-12.0, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
+            # side walls at x = +-hall_half_width (default 12; stress worlds
+            # with turning trajectories widen the hall so the post-turn
+            # heading does not drive into a wall within the sequence)
+            _Plane(np.array([-hall_half_width, 0.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]),
                    np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), mk(),
                    tex_size / big),
-            # right wall at x = +12
-            _Plane(np.array([12.0, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
+            _Plane(np.array([hall_half_width, 0.0, 0.0]),
+                   np.array([-1.0, 0.0, 0.0]),
                    np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]), mk(),
                    tex_size / big),
         ]
@@ -267,6 +323,11 @@ class SyntheticStereoSequence:
             tu = (p - pl.point) @ pl.u_axis
             tv = (p - pl.point) @ pl.v_axis
             val = self._sample_tex(pl.texture, tu, tv, pl.tex_scale)
+            if self.low_texture_band is not None:
+                z0, z1 = self.low_texture_band
+                in_band = (p[..., 2] >= z0) & (p[..., 2] <= z1)
+                flat = 118.0 + self.low_texture_contrast * (val - 118.0)
+                val = np.where(in_band, flat, val)
             out = np.where(hit, val, out)
             best_t = np.where(hit, t, best_t)
         for q in self.quads:
