@@ -174,8 +174,11 @@ def block_engine_covariances():
     gt = seq.poses
     err_t = []
     for j in range(n - 1):
-        m_est = res.traj_ba[j] @ np.linalg.inv(res.traj_ba[j + 1])
-        m_gt = gt[j] @ np.linalg.inv(gt[j + 1])
+        # engine convention: m_j maps frame-j points into frame j+1, i.e.
+        # m_j = inv(traj[j+1]) @ traj[j] (the world-frame conjugate mixes
+        # (I - R_rel) t_world into the translation — review finding)
+        m_est = np.linalg.inv(res.traj_ba[j + 1]) @ res.traj_ba[j]
+        m_gt = np.linalg.inv(gt[j + 1]) @ gt[j]
         err_t.append(np.linalg.norm(m_est[:3, 3] - m_gt[:3, 3]))
     err_t = np.asarray(err_t)
     sigma_t = np.sqrt(np.trace(res.motion_cov[:, :3, :3], axis1=1, axis2=2))

@@ -1,6 +1,6 @@
 """Config-4 integrated-system benchmark (VERDICT r2 item 1, r3 items 1/5/9).
 
-The measured full system is the round-4 UNIFIED track-table engine
+The measured full system is the round-5 UNIFIED track-table engine
 (models/smoother.py unified_system_scan): one detection per window feeds
 both the per-motion vmapped-RANSAC VO and the batched dense-Schur BA —
 the reference consumer's one-track-table architecture (WBA_Point,
@@ -17,7 +17,7 @@ degraded-frame policy applied. The artifact is self-describing:
 ``pass_ate_gate`` / ``pass_fps_gate`` record whether the run met its own
 acceptance criteria (round-3 advisor: a failing run must not publish an
 artifact indistinguishable from a passing one). Writes
-benchmarks/full_system_r04.json.
+benchmarks/full_system_r05.json.
 """
 
 from __future__ import annotations
@@ -166,7 +166,7 @@ def main():
                 "track table amortizes detection across the window.",
     }
     print(json.dumps(result))
-    (REPO / "benchmarks" / "full_system_r04.json").write_text(
+    (REPO / "benchmarks" / "full_system_r05.json").write_text(
         json.dumps(result, indent=1)
     )
     assert ate_ba < ate_vo, (ate_vo, ate_ba)

@@ -15,7 +15,7 @@ KITTI-size corrupted sequence two ways:
 
 Acceptance: ate_ba < ate_vo on the 500-frame corrupted world (the
 artifact is self-describing via pass_ate_gate). Writes
-benchmarks/long_sequence_r04.json.
+benchmarks/long_sequence_r05.json.
 """
 
 from __future__ import annotations
@@ -151,7 +151,7 @@ def main():
         },
     }
     print(json.dumps(result))
-    (REPO / "benchmarks" / "long_sequence_r04.json").write_text(
+    (REPO / "benchmarks" / "long_sequence_r05.json").write_text(
         json.dumps(result, indent=1)
     )
     assert ate_ba < ate_vo, (ate_vo, ate_ba)

@@ -70,6 +70,33 @@ class TestPallasMI:
         np.testing.assert_allclose(out[False][1], out[True][1], atol=1e-4)
         np.testing.assert_allclose(out[False][0], out[True][0], atol=1e-3)
 
+    def test_sentinel_anywhere_above_bins(self):
+        """Regression (review finding): the documented padding contract is
+        'sentinel >= bins'; the MXU kernel packs the histogram on 32
+        sublanes, so a sentinel in [bins, 32) must still stay out of every
+        histogram slot."""
+        from uasl_motion_estimation_tpu.ops.pallas.mi import (
+            mi_quantized_pairs,
+        )
+
+        rng = np.random.default_rng(0)
+        npix = 121
+        qa = rng.integers(0, 20, (9, npix)).astype(np.int32)
+        qb = rng.integers(0, 20, (9, npix)).astype(np.int32)
+        pad = 128 - npix
+        for sentinel in (20, 25, 31, 400):
+            qa_p = np.pad(qa, ((0, 0), (0, pad)), constant_values=sentinel)
+            qb_p = np.pad(qb, ((0, 0), (0, pad)), constant_values=0)
+            got = np.asarray(mi_quantized_pairs(
+                jnp.asarray(qa_p), jnp.asarray(qb_p), n_valid=npix,
+                interpret=True))
+            want = np.asarray(sim.mutual_information(
+                (qa * 256.0 / 20 + 0.5).astype(np.float32).reshape(9, 11, 11),
+                (qb * 256.0 / 20 + 0.5).astype(np.float32).reshape(9, 11, 11),
+            ))
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"sentinel={sentinel}")
+
     def test_batch_shapes(self):
         a = jnp.asarray(RNG.uniform(0, 255, (4, 7, 9, 9)), jnp.float32)
         b = jnp.asarray(RNG.uniform(0, 255, (4, 7, 9, 9)), jnp.float32)

@@ -32,6 +32,30 @@ class TestEighJacobi:
         for n, b in ((3, 64), (4, 128), (9, 32), (10, 16)):
             self._check(n, b)
 
+    def test_equal_diagonal_pair(self):
+        """Regression (review finding): sign(tau)=0 at exactly-equal
+        diagonal entries skipped the mandatory 45-degree rotation and the
+        matrix never diagonalized — e.g. E^T E of an axis-aligned pure
+        translation."""
+        A = np.array([[0.5, -0.5, 0.0], [-0.5, 0.5, 0.0], [0.0, 0.0, 1.0]],
+                     np.float32)[None]
+        w, V = sa.eigh_jacobi(jnp.asarray(A))
+        np.testing.assert_allclose(np.asarray(w)[0], [0.0, 1.0, 1.0],
+                                   atol=1e-6)
+        rec = np.einsum("bij,bj,bkj->bik", np.asarray(V), np.asarray(w),
+                        np.asarray(V))
+        np.testing.assert_allclose(rec, A, atol=1e-6)
+        # the downstream essential case: svd of skew((1,1,0)/sqrt(2))
+        t = np.array([1.0, 1.0, 0.0]) / np.sqrt(2.0)
+        E = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]],
+                      [-t[1], t[0], 0]], np.float32)[None]
+        U, s, Vt = sa.svd3_rotation(jnp.asarray(E))
+        np.testing.assert_allclose(np.asarray(s)[0], [1.0, 1.0, 0.0],
+                                   atol=1e-5)
+        rec = np.einsum("bij,bj,bjk->bik", np.asarray(U), np.asarray(s),
+                        np.asarray(Vt))
+        np.testing.assert_allclose(rec, E, atol=1e-4)
+
     def test_round_robin_covers_all_pairs(self):
         for n in (3, 4, 9, 10):
             seen = set()

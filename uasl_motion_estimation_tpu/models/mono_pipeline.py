@@ -214,7 +214,11 @@ def run_mono_staged(
                     ls[i].astype(jnp.float32), ls[i + 1].astype(jnp.float32),
                     key5, cfg5,
                 ).result)
-                if int(res.n_inliers) > int(ninl[i]):
+                better = (bool(res.success) and not bool(succ[i])) or (
+                    bool(res.success) == bool(succ[i])
+                    and int(res.n_inliers) > int(ninl[i])
+                )
+                if better:
                     R[i] = res.R
                     t[i] = res.t
                     succ[i] = res.success

@@ -411,9 +411,14 @@ def mono_vo_solve(
             lambda: _mono_vo_impl(matches, valid, key5, p5),
             lambda: res8,
         )
-        # higher-support solution wins (5-point can only have run - and
-        # only differs - when the pencil collapsed)
-        take5 = need5 & (res5.n_inliers > res8.n_inliers)
+        # winner by (success, inliers) — success leads, as in the unified
+        # engine's install policy: a FAILED pencil solution with more
+        # Sampson inliers must not beat a successful 5-point escalation
+        take5 = need5 & (
+            (res5.success & ~res8.success)
+            | ((res5.success == res8.success)
+               & (res5.n_inliers > res8.n_inliers))
+        )
         return jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(take5, (1,) * a.ndim), a, b

@@ -51,9 +51,16 @@ def _mi_kernel(qa_ref, qb_ref, out_ref, *, bins: int, n_valid: int):
     bs = 32  # bins=20 padded to a sublane multiple; rows/cols >= bins stay 0
 
     i_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, bs, p), 1)
-    # padded pixels carry a sentinel >= bins in qa and match no row
-    A = (qa[:, None, :] == i_iota).astype(jnp.bfloat16)  # (TB, BS, P)
-    B = (qb[:, None, :] == i_iota).astype(jnp.bfloat16)
+    # padded pixels carry ANY sentinel >= bins: the explicit < bins mask
+    # keeps them out of every histogram row even when the sentinel lands
+    # inside the padded sublane range [bins, BS) (review finding — the
+    # documented contract is "sentinel >= bins", not ">= BS")
+    in_range_a = (qa >= 0) & (qa < bins)
+    in_range_b = (qb >= 0) & (qb < bins)
+    A = ((qa[:, None, :] == i_iota)
+         & in_range_a[:, None, :]).astype(jnp.bfloat16)  # (TB, BS, P)
+    B = ((qb[:, None, :] == i_iota)
+         & in_range_b[:, None, :]).astype(jnp.bfloat16)
     hist = jax.lax.dot_general(
         A, B, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,

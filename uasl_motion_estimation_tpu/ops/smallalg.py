@@ -71,8 +71,13 @@ def eigh_jacobi(M: jax.Array, sweeps: int = 6) -> tuple[jax.Array, jax.Array]:
                 aqq = A[..., q, q]
                 tau = (aqq - app) / (2.0 * jnp.where(
                     jnp.abs(apq) < 1e-30, 1e-30, apq))
-                t = jnp.sign(tau) / (jnp.abs(tau)
-                                     + jnp.sqrt(1.0 + tau * tau))
+                # NOT jnp.sign(tau): sign(0) == 0 would silently skip the
+                # 45-degree rotation required when the two diagonal entries
+                # are exactly equal (e.g. E^T E of an axis-aligned pure
+                # translation) and the matrix never diagonalizes — found by
+                # review, reproduced on skew((1,1,0)/sqrt(2))
+                sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
+                t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
                 t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
                 c = 1.0 / jnp.sqrt(1.0 + t * t)
                 s = t * c
