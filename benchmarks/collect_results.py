@@ -62,8 +62,8 @@ def main():
         "latency_mode": extra.get("config_latency_mode"),
         "stress_worlds": load(B / "stress_r05.json"),
         "covariance_circuit": load(B / "cov_circuit_r05.json"),
-        "streaming_cpu": load(B / "streaming_r04.json"),
-        "streaming_tpu": load(B / "streaming_tpu_r04.json"),
+        "streaming_cpu": load(B / "streaming_r05.json") or load(B / "streaming_r04.json"),
+        "streaming_tpu": load(B / "streaming_tpu_r05.json") or load(B / "streaming_tpu_r04.json"),
         "long_sequence_501": load(B / "long_sequence_r05.json")
         or load(B / "long_sequence_r04.json"),
         "reference_cpu_baseline": load(B / "reference_cpu.json"),

@@ -141,7 +141,7 @@ def main():
     }
     print(json.dumps(result))
     suffix = "_tpu" if os.environ.get("BENCH_STREAM_TPU") == "1" else ""
-    (REPO / "benchmarks" / f"streaming{suffix}_r04.json").write_text(
+    (REPO / "benchmarks" / f"streaming{suffix}_r05.json").write_text(
         json.dumps(result, indent=1)
     )
     return result
