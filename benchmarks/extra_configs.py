@@ -253,9 +253,22 @@ def bench_mi_scale():
         max_features=256,
     )
 
+    from uasl_motion_estimation_tpu.models.cross_modal import (
+        run_cross_modal_staged,
+    )
+
     t0 = time.perf_counter()
     res = run_cross_modal(frames, cfg, seed=0)
     t_total = time.perf_counter() - t0
+
+    # staged single-dispatch engine (round 5): whole session in one jit
+    run_cross_modal_staged(frames, cfg, seed=0, chunk=4)  # warm
+    st_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res_staged = run_cross_modal_staged(frames, cfg, seed=0, chunk=4)
+        st_times.append(time.perf_counter() - t0)
+    fps_staged = (n - 1) / float(np.median(st_times))
 
     gt_speed = np.linalg.norm(np.diff(seq.poses[:, :3, 3], axis=0), axis=1)
     err = np.abs(res.scales - gt_speed) / gt_speed
@@ -313,10 +326,15 @@ def bench_mi_scale():
             "n_iter": int(lmres.n_iter),
         }
 
+    err_staged = (np.abs(res_staged.scales - gt_speed) / gt_speed)
     med_err = float(np.median(err)) * 100
     result = {
         "metric": "cross-modal MI metric-scale session (192x320, 256 feats)",
-        "value": round(1.0 / dt, 2), "unit": "frames/s",
+        "value": round(fps_staged, 2), "unit": "frames/s",
+        "fps_staged": round(fps_staged, 2),
+        "fps_per_frame_loop": round(1.0 / dt, 2),
+        "staged_median_err_pct": round(float(np.median(err_staged)) * 100,
+                                       2),
         "n_frames": n,
         "wall_s_total": round(t_total, 2),
         "scale_accuracy": {

@@ -137,6 +137,35 @@ class TestCrossModalSession:
         ate = float(ate_rmse(res.trajectory[:, :3, 3], seq.gt_positions()))
         assert ate < 0.06, ate
 
+    def test_staged_engine_matches_per_frame_loop(self):
+        """The staged single-dispatch session must agree with the per-frame
+        loop (same global-index keys; vectorization-context float noise
+        only) and keep the metric-scale accuracy."""
+        from uasl_motion_estimation_tpu.models.cross_modal import (
+            run_cross_modal,
+            run_cross_modal_staged,
+        )
+        from uasl_motion_estimation_tpu.utils.metrics import ate_rmse
+
+        seq, frames = _cross_modal_world(8)
+        # quantize to the wire format for both engines
+        wire = [(np.clip(l, 0, 255).astype(np.uint8).astype(np.float32),
+                 np.clip(r, 0, 255).astype(np.uint8).astype(np.float32))
+                for l, r in frames]
+        cfg = self._cfg()
+        res_s = run_cross_modal_staged(wire, cfg, seed=0, chunk=4)
+        res_l = run_cross_modal(wire, cfg, seed=0)
+        dev = np.max(np.abs(res_s.trajectory[:, :3, 3]
+                            - res_l.trajectory[:, :3, 3]))
+        assert dev < 0.05, dev
+        gt_speed = np.linalg.norm(
+            np.diff(seq.poses[:, :3, 3], axis=0), axis=1)
+        err = np.abs(res_s.scales - gt_speed) / gt_speed
+        assert float(np.median(err)) < 0.02, err
+        ate = float(ate_rmse(res_s.trajectory[:, :3, 3],
+                             seq.gt_positions()))
+        assert ate < 0.06, ate
+
     def test_recovers_from_bad_init_cross_modal(self):
         """The MI optimiser itself (not the matcher init) must pull a
         deliberately wrong scale to the truth across modalities — the

@@ -72,7 +72,11 @@ class CrossModalStep(NamedTuple):
     t: jax.Array  # (3,) unit-norm translation
     scale: jax.Array  # () refined metric scale (meters per mono unit)
     s0: jax.Array  # () MI-matcher initial scale
-    s0_valid: jax.Array  # () bool: enough MI matches to trust s0
+    # () bool: the scale estimate is trustworthy — the MI matcher seeded it
+    # OR the MI-LM refinement produced an in-range value (when False, the
+    # returned scale degenerated to s_prev and consumers should inherit
+    # the previous frame's scale)
+    s0_valid: jax.Array
     n_init: jax.Array  # () MI matches feeding s0
     n_scale_pts: jax.Array  # () structure points feeding the MI optimiser
     n_inliers: jax.Array  # () mono RANSAC inliers
@@ -81,21 +85,19 @@ class CrossModalStep(NamedTuple):
     mi_final: jax.Array  # () mean per-feature MI at the solution
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def cross_modal_step(
+def _session_step(
     prev_left: jax.Array,
     cur_left: jax.Array,
     cur_right: jax.Array,
     key: jax.Array,
     cfg: CrossModalConfig,
     s_prev: jax.Array | float = 1.0,
+    pyr_prev: tuple | None = None,
+    pyr_cur: tuple | None = None,
 ) -> CrossModalStep:
-    """One frame of the cross-modal session (detect -> KLT -> mono VO ->
-    MI-matcher scale init -> MI-LM scale refinement), single dispatch.
-
-    ``s_prev``: previous frame's refined scale — the fallback (and LM warm
-    reference) when the MI matcher cannot seed this frame.
-    """
+    """Session step body (detect -> KLT -> mono VO -> MI-matcher scale init
+    -> MI-LM scale refinement); shared by the jitted per-frame step and the
+    staged scan (which passes prebuilt left-pyramids)."""
     p = cfg
     intr = p.vo.intr
 
@@ -103,7 +105,8 @@ def cross_modal_step(
     feats, _, v0 = im.detect_features_grid(
         prev_left, max_features=p.max_features, quality_level=p.detect_quality
     )
-    tracked = fe.klt_track(prev_left, cur_left, feats, v0, p.klt)
+    tracked = fe.klt_track(prev_left, cur_left, feats, v0, p.klt,
+                           pyr_prev=pyr_prev, pyr_next=pyr_cur)
     matches = jnp.stack([feats, tracked.pts], axis=1)
     res = mono_vo_solve(matches, tracked.valid, key, p.vo)
 
@@ -146,10 +149,138 @@ def cross_modal_step(
     scale = jnp.where(good, s_ref, s0)
 
     return CrossModalStep(
-        R=res.R, t=res.t, scale=scale, s0=s0, s0_valid=s0_valid,
+        R=res.R, t=res.t, scale=scale, s0=s0, s0_valid=s0_valid | good,
         n_init=n_init, n_scale_pts=jnp.sum(ok), n_inliers=res.n_inliers,
         vo_success=res.success, lm_stop=lmres.stop,
         mi_final=lmres.cost,  # mean per-feature MI (the maximized objective)
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def cross_modal_step(
+    prev_left: jax.Array,
+    cur_left: jax.Array,
+    cur_right: jax.Array,
+    key: jax.Array,
+    cfg: CrossModalConfig,
+    s_prev: jax.Array | float = 1.0,
+) -> CrossModalStep:
+    """One frame of the cross-modal session, single dispatch.
+
+    ``s_prev``: previous frame's refined scale — the fallback (and LM warm
+    reference) when the MI matcher cannot seed this frame.
+    """
+    return _session_step(prev_left, cur_left, cur_right, key, cfg, s_prev)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def cross_modal_sequence_scan(
+    ls: jax.Array,  # (n, H, W) staged LEFT frames (uint8 wire or f32)
+    rs: jax.Array,  # (n, H, W) staged RIGHT (cross-modal) frames
+    keys: jax.Array,  # (g*chunk,) step keys
+    cfg: CrossModalConfig,
+    chunk: int = 4,
+) -> CrossModalStep:
+    """Whole cross-modal session in ONE dispatch (staged analogue of the
+    mono scan): lax.map over chunk-sized frame groups, left pyramids built
+    once per group and shared by adjacent steps, every step's mono VO +
+    MI matcher + MI-LM scale solved in vmapped lock-step.
+
+    In-scan steps cannot warm-start from the previous frame's scale (that
+    would serialize the vmap); s_prev is fixed at 1.0 and the host replaces
+    the (rare) steps whose matcher init AND refinement both failed
+    (s0_valid False) with the previous frame's scale — the same degraded
+    contract as the per-frame loop.
+    """
+    n = int(ls.shape[0])
+    b = n - 1
+    gc = int(keys.shape[0])
+    assert gc % chunk == 0 and gc >= b
+    g = gc // chunk
+    pad = gc - b
+    if pad:
+        ls = jnp.concatenate([ls, jnp.repeat(ls[-1:], pad, axis=0)])
+        rs = jnp.concatenate([rs, jnp.repeat(rs[-1:], pad, axis=0)])
+    bases = jnp.arange(g, dtype=jnp.int32) * chunk
+
+    def one_chunk(a):
+        base, ks = a
+        lf = jax.lax.dynamic_slice_in_dim(ls, base, chunk + 1, axis=0
+                                          ).astype(jnp.float32)
+        rf = jax.lax.dynamic_slice_in_dim(rs, base, chunk + 1, axis=0
+                                          ).astype(jnp.float32)
+        pyr = jax.vmap(
+            lambda x: tuple(im.build_pyramid(x, cfg.klt.n_levels))
+        )(lf)
+        return jax.vmap(
+            lambda pl, cl, cr, k, pp, pc: _session_step(
+                pl, cl, cr, k, cfg, 1.0, pyr_prev=pp, pyr_cur=pc
+            )
+        )(
+            lf[:-1], lf[1:], rf[1:], ks,
+            tuple(x[:-1] for x in pyr), tuple(x[1:] for x in pyr),
+        )
+
+    out = jax.lax.map(one_chunk, (bases, keys.reshape(g, chunk)))
+    out = jax.tree.map(lambda x: x.reshape((gc,) + x.shape[2:]), out)
+    return jax.tree.map(lambda x: x[:b], out)
+
+
+def run_cross_modal_staged(
+    frames,
+    cfg: CrossModalConfig,
+    seed: int = 0,
+    chunk: int = 4,
+) -> CrossModalResult:
+    """Host API for the staged cross-modal engine: one dispatch for the
+    whole session, float64 chain composition, degraded-frame contract."""
+    pairs = [(np.asarray(l), np.asarray(r)) for l, r in frames]
+    ls = jnp.asarray(np.clip(np.stack([p[0] for p in pairs]), 0, 255
+                             ).astype(np.uint8))
+    rs = jnp.asarray(np.clip(np.stack([p[1] for p in pairs]), 0, 255
+                             ).astype(np.uint8))
+    n = int(ls.shape[0])
+    b = n - 1
+    g = -(-b // chunk)
+    base_key = jax.random.key(seed)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(g * chunk, dtype=jnp.int32)
+    )
+    out = jax.device_get(cross_modal_sequence_scan(ls, rs, keys, cfg,
+                                                   chunk=chunk))
+
+    pose = np.eye(4)
+    traj = [pose.copy()]
+    scales, s0s, records = [], [], []
+    s_prev = 1.0
+    for i in range(b):
+        scale = float(out.scale[i])
+        if not bool(out.s0_valid[i]):  # matcher AND refinement both failed
+            scale = s_prev
+        if bool(out.vo_success[i]):
+            motion = np.eye(4)
+            motion[:3, :3] = np.asarray(out.R[i], np.float64)
+            motion[:3, 3] = scale * np.asarray(out.t[i], np.float64)
+            pose = pose @ np.linalg.inv(motion)
+            s_prev = scale
+        traj.append(pose.copy())
+        scales.append(scale)
+        s0s.append(float(out.s0[i]))
+        records.append({
+            "frame": i + 1,
+            "success": bool(out.vo_success[i]),
+            "n_inliers": int(out.n_inliers[i]),
+            "n_init": int(out.n_init[i]),
+            "n_scale_pts": int(out.n_scale_pts[i]),
+            "scale": scale,
+            "s0": float(out.s0[i]),
+            "lm_stop": StopCondition(int(out.lm_stop[i])).name,
+        })
+    return CrossModalResult(
+        trajectory=np.asarray(traj),
+        scales=np.asarray(scales),
+        s0=np.asarray(s0s),
+        records=records,
     )
 
 
@@ -168,7 +299,7 @@ def run_cross_modal(
     """Host session loop: metric trajectory over (left, right) frame pairs
     of a cross-modal rig. Failed frames keep the last pose (degraded-frame
     contract); failed scales inherit the previous scale."""
-    key = jax.random.key(seed)
+    base_key = jax.random.key(seed)
     pose = np.eye(4)
     traj = [pose.copy()]
     scales, s0s, records = [], [], []
@@ -179,7 +310,9 @@ def run_cross_modal(
         left = jnp.asarray(left, jnp.float32)
         right = jnp.asarray(right, jnp.float32)
         if prev_left is not None:
-            key, sub = jax.random.split(key)
+            # keys from GLOBAL step indices: the per-frame and staged
+            # engines solve each step with the same key
+            sub = jax.random.fold_in(base_key, i - 1)
             out = jax.device_get(
                 cross_modal_step(prev_left, left, right, sub, cfg,
                                  s_prev=s_prev)
